@@ -1,0 +1,104 @@
+"""Batched preconditioned conjugate gradient under `lax.while_loop`.
+
+Re-design of /root/reference/src/IterativeSolvers/ConjugateGradient.jl for TPU
+execution: one CG drives MANY right-hand sides at once (complex channel pairs,
+random vectors, walkers — all leading axes of a (..., Ltau, N) real array), with
+per-system convergence masks so early-converged systems freeze while the rest
+iterate. Iteration count is data-dependent, so the loop is a `lax.while_loop`
+with the whole Krylov state as carry; everything else in the sweep stays traced.
+
+Numerical-failure semantics: instead of the reference's try/catch-and-reject
+(/root/reference/src/EFAPFFHMCUpdater.jl:168-187), the returned stats carry a
+`converged` flag that is False on NaN/Inf or iteration exhaustion; callers fold it
+into the Metropolis accept probability (P = 0) with `jnp.where`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CGStats(NamedTuple):
+    iters: jnp.ndarray  # scalar int: while-loop iterations executed
+    eps: jnp.ndarray  # per-system relative residual |r| / |b|
+    converged: jnp.ndarray  # scalar bool: all systems converged to finite solutions
+
+
+def _sys_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-system inner product: reduce over the trailing (Ltau, N) axes."""
+    return jnp.sum(a * b, axis=(-2, -1))
+
+
+def cg_solve(
+    apply_A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Solve A x = b for symmetric positive definite A with left preconditioner.
+
+    Args:
+      apply_A: linear map on (..., Ltau, N) arrays (broadcasts leading axes).
+      b: right-hand sides; every leading axis indexes an independent system.
+      precond: z = P^{-1} r map (same signature); None = identity.
+      tol: relative residual tolerance |r| / |b|.
+      maxiter: iteration cap.
+      x0: optional initial guess (default zero).
+
+    Returns:
+      (x, CGStats)
+    """
+    if precond is None:
+        precond = lambda r: r
+
+    normb = jnp.sqrt(_sys_dot(b, b))
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - apply_A(x0)
+
+    z = precond(r)
+    p = z
+    rdotz = _sys_dot(r, z)
+    eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+    active = eps >= tol
+
+    def cond(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        return jnp.logical_and(jnp.any(active), it < maxiter)
+
+    def body(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        Ap = apply_A(p)
+        pAp = _sys_dot(p, Ap)
+        alpha = jnp.where(active, rdotz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        a = alpha[..., None, None]
+        x = x + a * p
+        r = r - a * Ap
+        eps_new = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+        eps = jnp.where(active, eps_new, eps)
+        active_new = jnp.logical_and(active, eps >= tol)
+        z = precond(r)
+        new_rdotz = _sys_dot(r, z)
+        beta = jnp.where(active_new, new_rdotz / jnp.where(rdotz != 0, rdotz, 1.0), 0.0)
+        p = jnp.where(active_new[..., None, None], z + beta[..., None, None] * p, p)
+        rdotz = jnp.where(active_new, new_rdotz, rdotz)
+        return (x, r, p, rdotz, eps, active_new, it + 1)
+
+    x, r, p, rdotz, eps, active, iters = lax.while_loop(
+        cond, body, (x, r, p, rdotz, eps, active, jnp.asarray(0, jnp.int32))
+    )
+
+    finite = jnp.all(jnp.isfinite(x))
+    converged = jnp.logical_and(finite, jnp.logical_not(jnp.any(active)))
+    return x, CGStats(iters=iters, eps=eps, converged=converged)

@@ -1,0 +1,391 @@
+"""KPM (Chebyshev) preconditioner for the M^T M conjugate-gradient solves.
+
+Re-design of /root/reference/src/KPMPreconditioner.jl for TPU execution. The
+preconditioner is P^{-1} = [Mbar^T Mbar]^{-1} where Mbar replaces every propagator
+by the tau-averaged Bbar; in the antiperiodic frequency basis (ops/fourier.py)
+Mbar is block diagonal and the per-frequency inverse is a scalar function of Bbar:
+
+  symmetric:  f(b; phi) = 1 / (b^2 - 2 b cos(phi) + 1)          (real coefficients)
+  asymmetric: g(b; phi) = 1 / (1 - e^{-i phi} b), applied twice  (complex coefficients)
+
+with phi_w = 2 pi (w + 1/2) / Ltau. Eigenvalue bounds of Bbar come from a
+fixed-step Lanczos iteration; the preconditioner self-deactivates when the
+buffered bounds leave (0,1) u (1,2) (KPMPreconditioner.jl:573-594).
+
+TPU mapping (the load-bearing design choices):
+
+- The reference expands each frequency separately with a per-frequency order
+  n_w ~ (eps_max - eps_min)(a1/phi + a2) (KPMPreconditioner.jl:711). Here the
+  frequency axis is *statically bucketed*: frequencies are permuted (static sort)
+  by a static order cap, grouped into power-of-two tiers, and each bucket runs ONE
+  Chebyshev recurrence over its whole (n_freq_bucket, N) block — Bbar is the same
+  operator for every frequency, so T_k(Bbar') u costs one batched checkerboard
+  sweep per k regardless of how many frequencies share it. Runtime orders (from
+  live Lanczos bounds) zero out coefficients beyond n_w, preserving the
+  reference's adaptive truncation without dynamic shapes.
+- Chebyshev coefficients are computed on device as small cosine-transform matmuls
+  every update (cheap), instead of the reference's drift-gated host recompute.
+- Everything is real arithmetic: complex frequency-space vectors are (re, im)
+  pairs; for the symmetric propagator the coefficients are real so the two
+  channels never mix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.pytree import register_pytree_dataclass, static_field
+from .checkerboard import CheckerboardOp, build_checkerboard_op
+from .fermion_det import FermionDetMatrix
+from .fourier import TauFourier
+
+
+# ----------------------------------------------------------------------
+# Bbar: tau-averaged single-slice propagator
+# ----------------------------------------------------------------------
+
+
+@register_pytree_dataclass
+class AveragedPropagator:
+    """Bbar built from tau-averaged checkerboard + diagonal factors
+    (/root/reference/src/KPMPreconditioner.jl:604-621)."""
+
+    cb: CheckerboardOp  # single-slice factors (N,)
+    expV: jnp.ndarray  # (N,)
+    symmetric: bool = static_field()
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.symmetric:
+            u = self.cb.apply(u, transpose=True)
+            u = self.expV * u
+            u = self.cb.apply(u)
+        else:
+            u = self.cb.apply(u)
+            u = self.expV * u
+        return u
+
+    def apply_T(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.symmetric:
+            return self.apply(u)
+        u = self.expV * u
+        u = self.cb.apply(u, transpose=True)
+        return u
+
+
+def averaged_propagator(fdm: FermionDetMatrix) -> AveragedPropagator:
+    expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
+    cb = build_checkerboard_op(fdm.structure, cosh_bar, sinh_bar)
+    return AveragedPropagator(cb=cb, expV=expV_bar, symmetric=fdm.symmetric)
+
+
+# ----------------------------------------------------------------------
+# Lanczos eigenvalue bounds (fixed-step, device-side)
+# ----------------------------------------------------------------------
+
+
+def lanczos_bounds(apply_A, n_sites: int, key, n_steps: int = 20) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(eig_min, eig_max) of a symmetric operator via n_steps Lanczos + dense
+    tridiagonal eigensolve (SmoQyKPMCore lanczos! as used at
+    /root/reference/src/KPMPreconditioner.jl:625-658)."""
+    v = jax.random.normal(key, (n_sites,))
+    v = v / jnp.linalg.norm(v)
+
+    def step(carry, _):
+        v_prev, v_cur, beta_prev = carry
+        w = apply_A(v_cur) - beta_prev * v_prev
+        alpha = jnp.dot(w, v_cur)
+        w = w - alpha * v_cur
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.where(beta > 1e-300, beta, 1.0)
+        return (v_cur, v_next, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = lax.scan(step, (jnp.zeros(n_sites), v, jnp.asarray(0.0)), None, length=n_steps)
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    evals = jnp.linalg.eigvalsh(T)
+    return evals[0], evals[-1]
+
+
+# ----------------------------------------------------------------------
+# Static frequency bucketing plan
+# ----------------------------------------------------------------------
+
+
+def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float):
+    """Sort frequencies by a static order cap and group into power-of-two tiers."""
+    w = np.arange(Ltau)
+    phi = 2.0 * np.pi * (w + 0.5) / Ltau
+    phi_eff = np.minimum(phi, 2.0 * np.pi - phi)
+    caps = np.maximum(1, np.floor(cap_delta_eps * (a1_eff / phi_eff + a2)).astype(np.int64))
+    perm = np.argsort(-caps, kind="stable")
+    inv_perm = np.argsort(perm, kind="stable")
+    sorted_caps = caps[perm]
+    buckets = []
+    start = 0
+    while start < Ltau:
+        tier = 1 << int(np.ceil(np.log2(max(int(sorted_caps[start]), 1)))) if sorted_caps[start] > 1 else 1
+        stop = start
+        while stop < Ltau and sorted_caps[stop] > tier // 2 and sorted_caps[stop] <= tier:
+            stop += 1
+        # ensure progress even if the tier test admits nothing (can't happen, but guard)
+        stop = max(stop, start + 1)
+        buckets.append((start, stop, int(tier)))
+        start = stop
+    return phi, perm.astype(np.int32), inv_perm.astype(np.int32), caps, tuple(buckets)
+
+
+def _cheb_nodes_and_cosmat(C: int):
+    """Chebyshev nodes x_j and the coefficient cosine matrix for a C-term fit."""
+    j = np.arange(C)
+    theta = np.pi * (j + 0.5) / C
+    nodes = np.cos(theta)  # (C,)
+    k = np.arange(C)[:, None]
+    cosmat = np.cos(k * theta[None, :]) * (2.0 / C)
+    cosmat[0, :] *= 0.5
+    return nodes, cosmat  # coefs[k] = sum_j cosmat[k, j] f(m_j)
+
+
+# ----------------------------------------------------------------------
+# Preconditioner state
+# ----------------------------------------------------------------------
+
+
+@register_pytree_dataclass
+class KPMPreconditioner:
+    """Runtime state + static plan of the KPM preconditioner.
+
+    Leaves: Bbar, buffered bounds, activation flag, per-bucket coefficient planes
+    (tuple of (n_freq_bucket, C_bucket) arrays; an (re, im) pair per bucket for the
+    asymmetric propagator, im all-zero for the symmetric one).
+    """
+
+    bbar: AveragedPropagator
+    lo: jnp.ndarray  # buffered lower bound
+    hi: jnp.ndarray  # buffered upper bound
+    active: jnp.ndarray  # bool scalar
+    coefs_re: Tuple[jnp.ndarray, ...]
+    coefs_im: Tuple[jnp.ndarray, ...]
+    fft: TauFourier
+    symmetric: bool = static_field()
+    Ltau: int = static_field()
+    n_sites: int = static_field()
+    a1: float = static_field()
+    a2: float = static_field()
+    rbuf: float = static_field()
+    n_lanczos: int = static_field()
+    phi: np.ndarray = static_field()  # (Ltau,)
+    perm: np.ndarray = static_field()
+    inv_perm: np.ndarray = static_field()
+    caps: np.ndarray = static_field()
+    buckets: Tuple[Tuple[int, int, int], ...] = static_field()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build(
+        fdm: FermionDetMatrix,
+        key,
+        rbuf: float = 0.10,
+        n_lanczos: int = 20,
+        a1: float = 1.0,
+        a2: float = 1.0,
+        cap_delta_eps: float = 1.0,
+    ) -> "KPMPreconditioner":
+        """Construct and immediately update (mirrors KPMPreconditioner ctor,
+        /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
+        symmetric propagator as in :263)."""
+        Ltau, N = fdm.Ltau, fdm.n_sites
+        a1_eff = (2.0 * a1) if fdm.symmetric else a1
+        phi, perm, inv_perm, caps, buckets = _static_plan(Ltau, a1_eff, a2, cap_delta_eps)
+        coefs_re = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
+        coefs_im = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
+        pre = KPMPreconditioner(
+            bbar=averaged_propagator(fdm),
+            lo=jnp.asarray(0.0),
+            hi=jnp.asarray(0.0),
+            active=jnp.asarray(False),
+            coefs_re=coefs_re,
+            coefs_im=coefs_im,
+            fft=TauFourier.build(Ltau),
+            symmetric=fdm.symmetric,
+            Ltau=Ltau,
+            n_sites=N,
+            a1=a1_eff,
+            a2=a2,
+            rbuf=rbuf,
+            n_lanczos=n_lanczos,
+            phi=phi,
+            perm=perm,
+            inv_perm=inv_perm,
+            caps=caps,
+            buckets=buckets,
+        )
+        return kpm_update(pre, fdm, key)
+
+    # ------------------------------------------------------------------
+    def as_operator(self):
+        """Return z = P^{-1} r callable for cg_solve."""
+        return lambda r: kpm_apply(self, r)
+
+
+# ----------------------------------------------------------------------
+# Update: refresh Bbar, bounds, activation, coefficients
+# ----------------------------------------------------------------------
+
+
+def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPreconditioner:
+    """Pure update of the preconditioner state for the current fermion matrix
+    (update_preconditioner!, /root/reference/src/KPMPreconditioner.jl:554-597)."""
+    bbar = averaged_propagator(fdm)
+    if pre.symmetric:
+        lo_raw, hi_raw = lanczos_bounds(bbar.apply, pre.n_sites, key, pre.n_lanczos)
+    else:
+        apply_BtB = lambda v: bbar.apply_T(bbar.apply(v))
+        lo2, hi2 = lanczos_bounds(apply_BtB, pre.n_sites, key, pre.n_lanczos)
+        lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
+        hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
+    lo = (1.0 - pre.rbuf) * lo_raw
+    hi = (1.0 + pre.rbuf) * hi_raw
+    active = (lo > 0.0) & (lo < 1.0) & (hi > 1.0) & (hi < 2.0)
+    # safe bounds keep coefficient math finite when inactive
+    lo_s = jnp.where(active, lo, 0.5)
+    hi_s = jnp.where(active, hi, 1.5)
+
+    # runtime per-frequency orders, clipped to the static caps
+    width = hi_s - lo_s
+    phi_eff = np.minimum(pre.phi, 2 * np.pi - pre.phi)
+    orders = jnp.maximum(
+        1,
+        jnp.floor(width * (pre.a1 / jnp.asarray(phi_eff) + pre.a2)).astype(jnp.int32),
+    )
+    orders = jnp.minimum(orders, jnp.asarray(pre.caps.astype(np.int32)))
+    orders_sorted = orders[pre.perm]
+    phi_sorted = jnp.asarray(pre.phi)[pre.perm]
+
+    center = (hi_s + lo_s) / 2.0
+    half = (hi_s - lo_s) / 2.0
+
+    coefs_re = []
+    coefs_im = []
+    for (start, stop, C) in pre.buckets:
+        nodes, cosmat = _cheb_nodes_and_cosmat(C)
+        m = center + half * jnp.asarray(nodes)  # (C,) sample points in [lo, hi]
+        phi_b = phi_sorted[start:stop][:, None]  # (F, 1)
+        if pre.symmetric:
+            f = 1.0 / (m[None, :] ** 2 - 2.0 * m[None, :] * jnp.cos(phi_b) + 1.0)  # (F, C)
+            cre = f @ jnp.asarray(cosmat).T
+            cim = jnp.zeros_like(cre)
+        else:
+            # g = 1 / (1 - e^{-i phi} m) = (1 - m cos phi - i m sin phi)^{-1}... compute via
+            # real/imag parts: denom = (1 - m cos)^2 + (m sin)^2
+            mc = m[None, :] * jnp.cos(phi_b)
+            ms = m[None, :] * jnp.sin(phi_b)
+            denom = (1.0 - mc) ** 2 + ms**2
+            f_re = (1.0 - mc) / denom
+            f_im = -ms / denom
+            cre = f_re @ jnp.asarray(cosmat).T
+            cim = f_im @ jnp.asarray(cosmat).T
+        # zero out terms beyond the runtime order
+        kidx = jnp.arange(C)[None, :]
+        mask = kidx < orders_sorted[start:stop][:, None]
+        coefs_re.append(jnp.where(mask, cre, 0.0))
+        coefs_im.append(jnp.where(mask, cim, 0.0))
+
+    return pre.replace(
+        bbar=bbar,
+        lo=lo_s,
+        hi=hi_s,
+        active=active,
+        coefs_re=tuple(coefs_re),
+        coefs_im=tuple(coefs_im),
+    )
+
+
+# ----------------------------------------------------------------------
+# Apply: z = P^{-1} r
+# ----------------------------------------------------------------------
+
+
+def _cheb_recurrence(apply_Bp, u_re, u_im, cre, cim, C: int):
+    """y = sum_k c_k T_k(B') u for complex coefficient planes c (F, C) and a
+    complex frequency-space pair u (.., F, N); B' is a real operator so the
+    re/im channels share the same recurrence."""
+
+    def acc(y_re, y_im, t_re, t_im, k):
+        ck_re = lax.dynamic_slice_in_dim(cre, k, 1, axis=1)[:, 0][:, None]
+        ck_im = lax.dynamic_slice_in_dim(cim, k, 1, axis=1)[:, 0][:, None]
+        y_re = y_re + ck_re * t_re - ck_im * t_im
+        y_im = y_im + ck_re * t_im + ck_im * t_re
+        return y_re, y_im
+
+    t0_re, t0_im = u_re, u_im
+    y_re = jnp.zeros_like(u_re)
+    y_im = jnp.zeros_like(u_im)
+    y_re, y_im = acc(y_re, y_im, t0_re, t0_im, 0)
+    if C == 1:
+        return y_re, y_im
+    t1_re, t1_im = apply_Bp(t0_re), apply_Bp(t0_im)
+    y_re, y_im = acc(y_re, y_im, t1_re, t1_im, 1)
+
+    def body(k, carry):
+        tm1_re, tm1_im, t_re, t_im, y_re, y_im = carry
+        tn_re = 2.0 * apply_Bp(t_re) - tm1_re
+        tn_im = 2.0 * apply_Bp(t_im) - tm1_im
+        y_re, y_im = acc(y_re, y_im, tn_re, tn_im, k)
+        return (t_re, t_im, tn_re, tn_im, y_re, y_im)
+
+    carry = (t0_re, t0_im, t1_re, t1_im, y_re, y_im)
+    carry = lax.fori_loop(2, C, body, carry)
+    return carry[4], carry[5]
+
+
+def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
+    """z = P^{-1} r for real r (..., Ltau, N); channels/batches broadcast.
+
+    Pipeline: tau-FFT -> static frequency permutation -> per-bucket Chebyshev in
+    Bbar -> inverse permutation -> inverse FFT -> real part
+    (ldiv!, /root/reference/src/KPMPreconditioner.jl:288-352).
+    """
+    center = (pre.hi + pre.lo) / 2.0
+    half = jnp.maximum((pre.hi - pre.lo) / 2.0, 1e-12)
+
+    def apply_Bp(v):
+        return (pre.bbar.apply(v) - center * v) / half
+
+    def transform(r):
+        ure, uim = pre.fft.forward(r)
+        ure = jnp.take(ure, jnp.asarray(pre.perm), axis=-2)
+        uim = jnp.take(uim, jnp.asarray(pre.perm), axis=-2)
+        out_re = []
+        out_im = []
+        for bi, (start, stop, C) in enumerate(pre.buckets):
+            ub_re = ure[..., start:stop, :]
+            ub_im = uim[..., start:stop, :]
+            cre, cim = pre.coefs_re[bi], pre.coefs_im[bi]
+            if pre.symmetric:
+                yb_re, yb_im = _cheb_recurrence(apply_Bp, ub_re, ub_im, cre, cim, C)
+            else:
+                # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
+                yb_re, yb_im = _cheb_recurrence(apply_Bp, ub_re, ub_im, cre, -cim, C)
+                yb_re, yb_im = _cheb_recurrence(apply_Bp, yb_re, yb_im, cre, cim, C)
+            out_re.append(yb_re)
+            out_im.append(yb_im)
+        yre = jnp.concatenate(out_re, axis=-2)
+        yim = jnp.concatenate(out_im, axis=-2)
+        yre = jnp.take(yre, jnp.asarray(pre.inv_perm), axis=-2)
+        yim = jnp.take(yim, jnp.asarray(pre.inv_perm), axis=-2)
+        zre, _ = pre.fft.inverse(yre, yim)
+        return zre
+
+    return lax.cond(pre.active, transform, lambda r: r, r)
+
+
+def dense_preconditioner(pre: KPMPreconditioner) -> np.ndarray:
+    """Dense (Ltau N, Ltau N) matrix of P^{-1} (testing oracle)."""
+    dim = pre.Ltau * pre.n_sites
+    eye = np.eye(dim).reshape(dim, pre.Ltau, pre.n_sites)
+    cols = jax.vmap(lambda e: kpm_apply(pre, e))(jnp.asarray(eye))
+    return np.asarray(cols).reshape(dim, dim).T
