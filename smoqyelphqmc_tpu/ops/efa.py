@@ -1,0 +1,104 @@
+"""Exact Fourier accelerator: analytic harmonic evolution of the phonon field.
+
+Re-design of SmoQyDQMC's ExactFourierAccelerator as consumed by the reference HMC
+updater (SURVEY.md section 2b; /root/reference/src/EFAPFFHMCUpdater.jl:61,142,150,244).
+
+In the (periodic, bosonic) tau-Fourier basis the harmonic part of the bosonic
+action is diagonal, S_harm = (1/2) sum_k Q_k |x_k|^2 (ops/bosonic.py). HMC momenta
+are given per-mode fictitious masses
+
+    m_k = M ( (4/dtau) sin^2(pi k/Ltau) + dtau (Omega^2 + eta^2) ),
+
+so that for eta = 0 every mode oscillates at unit frequency omega_k =
+sqrt(Q_k/m_k) = 1 — the "normalize all bare phonon frequencies to unity" property
+the reference tutorials rely on when choosing the trajectory length pi/2. The
+drift step rotates (x_k, p_k) analytically by omega_k * t, conserving the
+harmonic energy exactly; the fermionic/anharmonic/dispersive forces are kicked
+explicitly by the updater.
+
+No complex dtypes: the tau-axis DFT is a matmul pair (ops/fourier.py), masses are
+symmetric under k -> Ltau - k so reality is preserved. Frozen modes (infinite
+mass) have 1/m = 0: zero momentum, zero motion, zero kinetic energy."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.electron_phonon import ElectronPhononParameters
+from ..utils.pytree import register_pytree_dataclass, static_field
+from .bosonic import harmonic_curvature
+from .fourier import AxisDFT
+
+
+@register_pytree_dataclass
+class FourierAccelerator:
+    """Per-(mode, frequency) fictitious masses + curvatures and the tau DFT pair."""
+
+    Q: jnp.ndarray  # (n_phonon, Ltau) harmonic curvature (0 for frozen modes)
+    m: jnp.ndarray  # (n_phonon, Ltau) fictitious mass (0 for frozen modes)
+    fwd: AxisDFT
+    inv: AxisDFT
+    Ltau: int = static_field()
+
+    @staticmethod
+    def build(elph: ElectronPhononParameters, eta: float = 0.0) -> "FourierAccelerator":
+        Ltau = elph.Ltau
+        Q = harmonic_curvature(elph)
+        k = np.arange(Ltau)
+        sin2 = jnp.asarray(np.sin(np.pi * k / Ltau) ** 2)
+        live = jnp.asarray(~elph.frozen_mask)
+        mass = jnp.where(live, elph.mass, 0.0)
+        m = mass[:, None] * (
+            4.0 / elph.dtau * sin2[None, :] + elph.dtau * (elph.Omega[:, None] ** 2 + eta**2)
+        )
+        return FourierAccelerator(
+            Q=Q, m=m, fwd=AxisDFT.build(Ltau), inv=AxisDFT.build(Ltau, inverse=True), Ltau=Ltau
+        )
+
+    # ------------------------------------------------------------------
+    def initialize_momentum(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample p with density prop exp(-(1/2) sum_k |p_k|^2 / m_k); returns
+        (p, kinetic_energy). Implemented as p = F^{-1} sqrt(m) F xi with real
+        white noise xi, which preserves reality because m is k-symmetric."""
+        n_ph = self.m.shape[0]
+        xi = jax.random.normal(key, (n_ph, self.Ltau))
+        # unitary-normalized transform: use fwd then scale by 1/sqrt(L) etc.; the
+        # normalization cancels in F^{-1} diag F, so use plain fft/ifft pair.
+        xr, xi_im = self.fwd.apply(xi, None, axis=1)
+        s = jnp.sqrt(self.m)
+        pr, pi = self.inv.apply(s * xr, s * xi_im, axis=1)
+        p = pr  # imaginary part is zero by symmetry
+        return p, self.kinetic_energy(p)
+
+    def kinetic_energy(self, p: jnp.ndarray) -> jnp.ndarray:
+        """K = (1/2) sum_k |p_k|^2 / m_k with the unitary-FFT convention."""
+        pr, pi = self.fwd.apply(p, None, axis=1)
+        inv_m = jnp.where(self.m > 0, 1.0 / jnp.where(self.m > 0, self.m, 1.0), 0.0)
+        return 0.5 * jnp.sum((pr**2 + pi**2) * inv_m) / self.Ltau
+
+    # ------------------------------------------------------------------
+    def evolve(self, x: jnp.ndarray, p: jnp.ndarray, t) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact harmonic rotation of (x, p) by time t (evolve_eom!)."""
+        xr, xi = self.fwd.apply(x, None, axis=1)
+        pr, pi = self.fwd.apply(p, None, axis=1)
+        m = self.m
+        Q = self.Q
+        live = m > 0
+        inv_m = jnp.where(live, 1.0 / jnp.where(live, m, 1.0), 0.0)
+        omega = jnp.sqrt(jnp.where(live, Q * inv_m, 0.0))
+        osc = omega > 0
+        c = jnp.cos(omega * t)
+        s = jnp.sin(omega * t)
+        # oscillator: x' = x c + p s/(m w); p' = p c - x m w s
+        inv_mw = jnp.where(osc, 1.0 / jnp.where(osc, m * omega, 1.0), 0.0)
+        xr_new = jnp.where(osc, xr * c + pr * s * inv_mw, xr + t * pr * inv_m)
+        xi_new = jnp.where(osc, xi * c + pi * s * inv_mw, xi + t * pi * inv_m)
+        pr_new = jnp.where(osc, pr * c - xr * m * omega * s, pr)
+        pi_new = jnp.where(osc, pi * c - xi * m * omega * s, pi)
+        x_out, _ = self.inv.apply(xr_new, xi_new, axis=1)
+        p_out, _ = self.inv.apply(pr_new, pi_new, axis=1)
+        return x_out, p_out

@@ -1,0 +1,103 @@
+"""Simulation context + Markov-chain state pytrees.
+
+The TPU-native replacement for the reference's web of mutable structs
+(FermionPathIntegral / FermionDetMatrix / PFFCalculator / preconditioner /
+updater all updated in place): here
+
+  - `QMCContext` bundles everything *constant along the chain* (expanded model
+    parameters, checkerboard structure, force plan, Fourier accelerator, solver
+    knobs); it is a pytree so jitted update functions close over it as an
+    argument, and a leading walker axis can be vmapped over states only.
+  - `QMCState` is the full Markov-chain state: the phonon field, the RNG key and
+    the carried preconditioner data. Every update is a pure function
+    (ctx, state) -> (state', stats); rejection keeps the old x via jnp.where.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.electron_phonon import ElectronPhononParameters
+from ..models.fermion_path_integral import build_path_integral
+from ..models.tight_binding import TightBindingParameters
+from ..ops.checkerboard import CheckerboardStructure, build_checkerboard_structure
+from ..ops.derivatives import ForcePlan, build_force_plan
+from ..ops.efa import FourierAccelerator
+from ..ops.fermion_det import FermionDetMatrix
+from ..ops.kpm import KPMPreconditioner
+from ..utils.pytree import register_pytree_dataclass, static_field
+
+
+@register_pytree_dataclass
+class QMCContext:
+    tbp: TightBindingParameters
+    elph: ElectronPhononParameters  # coupling arrays; the live field x is in QMCState
+    efa: FourierAccelerator
+    structure: CheckerboardStructure = static_field()
+    plan: ForcePlan = static_field()
+    symmetric: bool = static_field()
+    tol: float = static_field()
+    tol_force: float = static_field()
+    maxiter: int = static_field()
+
+    @property
+    def Ltau(self) -> int:
+        return self.elph.Ltau
+
+    @property
+    def n_sites(self) -> int:
+        return self.tbp.n_sites
+
+
+@register_pytree_dataclass
+class QMCState:
+    x: jnp.ndarray  # (n_phonon, Ltau) phonon field
+    key: jnp.ndarray  # PRNG key
+    precond: Optional[KPMPreconditioner]  # carried preconditioner state (or None)
+
+
+def make_fdm(ctx: QMCContext, x: jnp.ndarray) -> FermionDetMatrix:
+    fpi = build_path_integral(ctx.tbp, ctx.elph, x)
+    return FermionDetMatrix.from_path_integral(fpi, ctx.structure, symmetric=ctx.symmetric)
+
+
+def initialize_qmc(
+    tbp: TightBindingParameters,
+    elph: ElectronPhononParameters,
+    seed: int = 0,
+    symmetric: bool = True,
+    tol: float = 1e-10,
+    tol_force: Optional[float] = None,
+    maxiter: int = 10_000,
+    eta: float = 0.0,
+    use_preconditioner: bool = True,
+) -> tuple[QMCContext, QMCState]:
+    """Build the context and initial state (the reference's setup cascade,
+    SURVEY.md section 3.1, collapsed into one call)."""
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    plan = build_force_plan(elph, structure)
+    efa = FourierAccelerator.build(elph, eta=eta)
+    ctx = QMCContext(
+        tbp=tbp,
+        elph=elph,
+        efa=efa,
+        structure=structure,
+        plan=plan,
+        symmetric=symmetric,
+        tol=tol,
+        tol_force=float(np.sqrt(tol)) if tol_force is None else tol_force,
+        maxiter=maxiter,
+    )
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    x0 = jnp.asarray(elph.x)
+    precond = None
+    if use_preconditioner:
+        fdm = make_fdm(ctx, x0)
+        precond = KPMPreconditioner.build(fdm, sub)
+    state = QMCState(x=x0, key=key, precond=precond)
+    return ctx, state

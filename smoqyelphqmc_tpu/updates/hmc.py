@@ -1,0 +1,130 @@
+"""EFA-PFF-HMC update of the phonon fields.
+
+Re-design of /root/reference/src/EFAPFFHMCUpdater.jl as one pure jitted function:
+fresh pseudofermions are sampled at trajectory start, the bosonic harmonic part is
+integrated analytically in phonon frequency space (ops/efa.py), the
+fermionic + anharmonic + dispersive forces are kicked explicitly, and the
+Metropolis decision selects between the proposed and original field with
+`jnp.where` — no rollback bookkeeping, because (V, t, propagator factors) are pure
+functions of x. Numerical failures (CG non-convergence / non-finite values)
+surface as a converged=False flag that forces rejection, mirroring the
+reference's try/catch-reject semantics (EFAPFFHMCUpdater.jl:168-187)."""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.bosonic import add_anharmonic_force, add_dispersive_force, bosonic_action
+from ..ops.kpm import kpm_update
+from ..ops.pff import fermionic_action, fermionic_action_and_force, sample_pseudofermion_fields
+from ..utils.pytree import register_pytree_dataclass, static_field
+from .context import QMCContext, QMCState, make_fdm
+
+
+@register_pytree_dataclass
+class HMCParams:
+    """Trajectory hyperparameters (EFAPFFHMCUpdater ctor, EFAPFFHMCUpdater.jl:40-64)."""
+
+    Nt: int = static_field(default=24)
+    dt: float = static_field(default=0.0)  # 0 -> pi / (2 Nt)
+    jitter: float = static_field(default=0.05)  # +-5% timestep noise (:125)
+
+    def timestep(self) -> float:
+        import math
+
+        return self.dt if self.dt > 0 else math.pi / (2 * self.Nt)
+
+
+class HMCStats(NamedTuple):
+    accepted: jnp.ndarray  # bool
+    delta_H: jnp.ndarray
+    iters_avg: jnp.ndarray  # average CG iterations per solve
+    converged: jnp.ndarray  # numerical-stability flag
+
+
+def hmc_update(
+    ctx: QMCContext,
+    state: QMCState,
+    params: HMCParams,
+    recenter: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> tuple[QMCState, HMCStats]:
+    """One EFA-PFF-HMC trajectory (hmc_update!, EFAPFFHMCUpdater.jl:102-279)."""
+    elph, efa = ctx.elph, ctx.efa
+    recenter = recenter or (lambda x: x)
+    Nt = params.Nt
+    base_dt = params.timestep()
+
+    key = state.key
+    key, k_dt, k_phi, k_mom, k_acc, k_pre0 = jax.random.split(key, 6)
+
+    dt = base_dt * (1.0 + (2.0 * jax.random.uniform(k_dt) - 1.0) * params.jitter)
+
+    x0 = state.x
+    fdm0 = make_fdm(ctx, x0)
+    precond = state.precond
+    if precond is not None:
+        precond = kpm_update(precond, fdm0, k_pre0)
+
+    Phi, Sf0 = sample_pseudofermion_fields(k_phi, elph, fdm0, x0)
+    Sb0 = bosonic_action(elph, x0)
+    p, K0 = efa.initialize_momentum(k_mom)
+    H0 = Sf0 + Sb0 + K0
+
+    # initial half drift
+    x, p = efa.evolve(x0, p, dt / 2.0)
+    x = recenter(x)
+
+    def step(carry, t):
+        x, p, precond, iters_sum, ok = carry
+        fdm = make_fdm(ctx, x)
+        k_pre = jax.random.fold_in(k_pre0, t + 1)
+        if precond is not None:
+            precond = kpm_update(precond, fdm, k_pre)
+        res = fermionic_action_and_force(
+            Phi, elph, fdm, x, ctx.plan,
+            precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
+        )
+        force = res.force
+        force = add_anharmonic_force(force, elph, x)
+        force = add_dispersive_force(force, elph, x)
+        ok = ok & res.stats.converged & jnp.all(jnp.isfinite(force))
+        p = p - dt * force
+        dt_drift = jnp.where(t == Nt - 1, dt / 2.0, dt)
+        x, p = efa.evolve(x, p, dt_drift)
+        x = recenter(x)
+        iters_sum = iters_sum + res.stats.iters
+        return (x, p, precond, iters_sum, ok), None
+
+    (x, p, precond, iters_sum, ok), _ = lax.scan(
+        step,
+        (x, p, precond, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+        jnp.arange(Nt),
+    )
+
+    # final action
+    fdm1 = make_fdm(ctx, x)
+    if precond is not None:
+        precond = kpm_update(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
+    res1 = fermionic_action(Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
+    ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
+    Sb1 = bosonic_action(elph, x)
+    K1 = efa.kinetic_energy(p)
+    H1 = res1.Sf + Sb1 + K1
+    dH = H1 - H0
+    iters_sum = iters_sum + res1.stats.iters
+
+    P = jnp.where(ok, jnp.minimum(1.0, jnp.exp(-dH)), 0.0)
+    accepted = jax.random.uniform(k_acc) < P
+    x_new = jnp.where(accepted, x, x0)
+
+    stats = HMCStats(
+        accepted=accepted,
+        delta_H=dH,
+        iters_avg=iters_sum / (Nt + 1),
+        converged=ok,
+    )
+    return QMCState(x=x_new, key=key, precond=precond), stats
