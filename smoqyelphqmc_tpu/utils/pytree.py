@@ -42,19 +42,45 @@ class _HashableArray:
         )
 
 
+class _HashableDataclass:
+    """Hashable wrapper for (frozen) dataclasses whose fields may hold arrays."""
+
+    __slots__ = ("cls", "fields", "_hash")
+
+    def __init__(self, cls, fields: tuple):
+        self.cls = cls
+        self.fields = fields
+        self._hash = hash((cls, fields))
+
+    def __hash__(self) -> int:
+        return self._hash
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, _HashableDataclass)
+            and self.cls is other.cls
+            and self.fields == other.fields
+        )
+
+
 def _wrap_static(value: Any) -> Any:
     if isinstance(value, np.ndarray):
         return _HashableArray(value)
-    if isinstance(value, list):
+    if isinstance(value, (list, tuple)):
         return tuple(_wrap_static(v) for v in value)
-    if isinstance(value, tuple):
-        return tuple(_wrap_static(v) for v in value)
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        names = tuple(f.name for f in dataclasses.fields(value))
+        vals = tuple(_wrap_static(getattr(value, n)) for n in names)
+        return _HashableDataclass(type(value), tuple(zip(names, vals)))
     return value
 
 
 def _unwrap_static(value: Any) -> Any:
     if isinstance(value, _HashableArray):
         return value.array
+    if isinstance(value, _HashableDataclass):
+        kwargs = {n: _unwrap_static(v) for n, v in value.fields}
+        return value.cls(**kwargs)
     if isinstance(value, tuple):
         return tuple(_unwrap_static(v) for v in value)
     return value

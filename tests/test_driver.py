@@ -1,0 +1,83 @@
+"""End-to-end driver smoke tests (the reference's test strategy, SURVEY.md
+section 4: full tiny simulations through the driver layer)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from smoqyelphqmc_tpu.driver import SimulationConfig, run_simulation
+from smoqyelphqmc_tpu.io import (
+    SimulationInfo,
+    compute_composite_correlation_ratio,
+)
+from smoqyelphqmc_tpu.measure.container import MeasurementSpec
+
+from _models import honeycomb_model, chain_model
+
+
+def _run(tmp_path, model_fn, cfg_kw=None, spec_fn=None, **model_kw):
+    geo, tbm, tbp, elph_model, elph = model_fn(**model_kw)
+    spec = MeasurementSpec(geometry=geo)
+    spec.add_correlation("greens", [(0, 0)], time_displaced=True)
+    spec.add_correlation("density", [(0, 0)], integrated=True)
+    spec.add_correlation("phonon_greens", [(0, 0)], time_displaced=True)
+    if spec_fn:
+        spec_fn(spec)
+    cfg = SimulationConfig(
+        beta=model_kw.get("beta", 0.5),
+        dtau=model_kw.get("dtau", 0.1),
+        N_therm=2,
+        N_measurements=4,
+        N_bins=2,
+        Nt=4,
+        Nrv=4,
+        tol=1e-8,
+        seed=11,
+        **(cfg_kw or {}),
+    )
+    sim_info = SimulationInfo(filepath=str(tmp_path), datafolder_prefix="test_sim")
+    meta = run_simulation(sim_info, tbm, elph_model, spec, cfg)
+    return sim_info, meta
+
+
+def test_driver_end_to_end_holstein(tmp_path):
+    def add_cdw(spec):
+        spec.add_composite_correlation(
+            "cdw", "density", ids=[0, 1], coefficients=[1.0, -1.0], integrated=True
+        )
+
+    sim_info, meta = _run(
+        tmp_path, honeycomb_model, spec_fn=add_cdw, L=2, beta=0.5, dtau=0.1, alpha=0.5
+    )
+    d = sim_info.datafolder
+    assert os.path.exists(os.path.join(d, "model_summary.toml"))
+    assert os.path.exists(os.path.join(d, "binned_data.h5"))
+    assert os.path.exists(os.path.join(d, "stats.h5"))
+    assert os.path.exists(os.path.join(d, "global_stats.csv"))
+    assert any(f.startswith("simulation_info") for f in os.listdir(d))
+    assert 0.0 <= meta["hmc_acceptance_rate"] <= 1.0
+    # correlation ratio machinery runs
+    R, dR = compute_composite_correlation_ratio(
+        d, "cdw", q_point=(0, 0), q_neighbors=[(1, 0), (0, 1), (1, 1)]
+    )
+    assert np.isfinite(R.real) and np.isfinite(dR)
+
+
+def test_driver_ssh_chain(tmp_path):
+    sim_info, meta = _run(tmp_path, chain_model, L=4, beta=0.5, dtau=0.1, alpha=0.4, ssh=True)
+    assert os.path.exists(os.path.join(sim_info.datafolder, "stats.h5"))
+
+
+def test_driver_density_tuning(tmp_path):
+    sim_info, meta = _run(
+        tmp_path,
+        honeycomb_model,
+        cfg_kw=dict(target_density=1.0),
+        L=2,
+        beta=0.5,
+        dtau=0.1,
+        alpha=0.3,
+    )
+    assert "final_mu" in meta
+    assert np.isfinite(meta["final_mu"])
