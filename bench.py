@@ -1,0 +1,136 @@
+"""Benchmark: CG matvec throughput on the BASELINE.md headline config.
+
+Holstein honeycomb L=12, beta=12, dtau=0.05 (Ltau=240, N=288 sites): times the
+innermost hot operation of the whole framework — the M^T M space-time matvec
+(2 checkerboard sweeps x 2 + diagonal scalings per application,
+BASELINE.md per-sweep cost model) — on the default device, and compares against
+the same computation pinned to one host CPU core (stand-in for the reference's
+single-core Julia loop nest, which performs the identical memory-bound sweeps).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def build_case(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, seed=0):
+    from smoqyelphqmc_tpu import (
+        Bond,
+        ElectronPhononModel,
+        ElectronPhononParameters,
+        HolsteinCoupling,
+        Lattice,
+        ModelGeometry,
+        PhononMode,
+        TightBindingModel,
+        TightBindingParameters,
+        UnitCell,
+    )
+    from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+    from smoqyelphqmc_tpu.ops.checkerboard import build_checkerboard_structure
+    from smoqyelphqmc_tpu.ops.fermion_det import FermionDetMatrix
+
+    uc = UnitCell(
+        lattice_vecs=[[1.5, np.sqrt(3) / 2], [1.5, -np.sqrt(3) / 2]],
+        basis_vecs=[[0.0, 0.0], [1.0, 0.0]],
+    )
+    lat = Lattice(L=[L, L], periodic=[True, True])
+    geo = ModelGeometry(uc, lat)
+    bonds = [
+        Bond(orbitals=(0, 1), displacement=[0, 0]),
+        Bond(orbitals=(0, 1), displacement=[-1, 0]),
+        Bond(orbitals=(0, 1), displacement=[0, -1]),
+    ]
+    for b in bonds:
+        geo.add_bond(b)
+    tbm = TightBindingModel(geo, bonds, [1.0] * 3, [0.0, 0.0], mu=0.0)
+    em = ElectronPhononModel(geo, tbm)
+    p1 = em.add_phonon_mode(PhononMode([0.0, 0.0], Omega))
+    p2 = em.add_phonon_mode(PhononMode([1.0, 0.0], Omega))
+    em.add_holstein_coupling(HolsteinCoupling(p1, 0, [0, 0], alpha, ph_sym_form=True))
+    em.add_holstein_coupling(HolsteinCoupling(p2, 1, [0, 0], alpha, ph_sym_form=True))
+    rng = np.random.default_rng(seed)
+    tbp = TightBindingParameters.from_model(tbm, rng)
+    elph = ElectronPhononParameters.from_model(beta, dtau, em, tbp, rng)
+    fpi = build_path_integral(tbp, elph)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    return fdm
+
+
+def bench_matvecs(n_iters=200, batch=2) -> float:
+    """Return M^T M applications per second (one application = one batched field)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    fdm = build_case()
+
+    v0 = jnp.asarray(np.random.default_rng(1).standard_normal((batch, fdm.Ltau, fdm.n_sites)))
+
+    @jax.jit
+    def loop(v):
+        def body(_, v):
+            v = fdm.mul_MtM(v)
+            # rescale to prevent overflow over many applications
+            return v / jnp.sqrt(jnp.mean(v * v))
+
+        return lax.fori_loop(0, n_iters, body, v)
+
+    loop(v0).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    loop(v0).block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_iters / dt
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "device"
+    if mode == "cpu-baseline":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rate = bench_matvecs(n_iters=50)
+        print(json.dumps({"cpu_rate": rate}))
+        return
+
+    rate = bench_matvecs()
+
+    # single-core CPU baseline in a subprocess (proxy for the reference's
+    # single-core Julia sweep; same memory-bound kernel structure)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_cpu_multi_thread_eigen=false"
+    env["OMP_NUM_THREADS"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "cpu-baseline"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        cpu_rate = json.loads(out.stdout.strip().splitlines()[-1])["cpu_rate"]
+    except Exception as e:  # pragma: no cover
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        cpu_rate = None
+
+    result = {
+        "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
+        "value": round(rate, 2),
+        "unit": "matvec/s",
+        "vs_baseline": round(rate / cpu_rate, 2) if cpu_rate else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

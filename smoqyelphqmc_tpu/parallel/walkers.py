@@ -1,0 +1,96 @@
+"""Many-walker parallelism: vmapped Markov chains sharded over a device mesh.
+
+The reference's only parallel strategy is embarrassingly-parallel MPI walkers —
+one rank per chain, collectives only at folder init / checkpoint / statistics
+merging (/root/reference/tutorials/holstein_honeycomb_mpi.jl:24-72, SURVEY.md
+section 2d). The TPU-native replacement:
+
+  - a leading walker axis on QMCState, advanced by `jax.vmap`ed update kernels
+    (one traced program, W chains in flight — on one chip this also batches all
+    the CG solves together);
+  - for multiple chips, the walker axis is sharded over a 1-D
+    `jax.sharding.Mesh`; since chains are independent, XLA partitions the
+    computation with zero collectives (statistics merging happens on host at
+    postprocessing, exactly like the reference's per-rank files).
+
+RNG: per-walker keys from `jax.random.split` replace per-rank seeds."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..measure.container import make_measurements
+from ..measure.greens_estimator import GreensEstimator, update_greens_estimator
+from ..updates.context import QMCContext, QMCState, make_fdm
+from ..updates.global_updates import reflection_update, swap_update
+from ..updates.hmc import HMCParams, hmc_update
+
+
+def init_walker_states(ctx: QMCContext, base_state: QMCState, n_walkers: int, seed: int = 0) -> QMCState:
+    """Replicate the chain state over a leading walker axis with independent keys
+    and independently-jittered initial fields."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_walkers)
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(seed + 1), (n_walkers,) + base_state.x.shape)
+    x = base_state.x[None] + noise
+    precond = None
+    if base_state.precond is not None:
+        precond = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_walkers,) + a.shape), base_state.precond
+        )
+    return QMCState(x=x, key=keys, precond=precond)
+
+
+def walker_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), ("walkers",))
+
+
+def shard_walker_states(states: QMCState, mesh: Mesh) -> QMCState:
+    """Place the leading walker axis across the mesh; everything else replicated."""
+
+    def put(a):
+        spec = P("walkers", *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, states)
+
+
+def walker_sweep(
+    ctx: QMCContext, states: QMCState, hmc_params: HMCParams, recenter=None
+):
+    """One (reflection + swap + HMC) sweep for every walker."""
+
+    def one(state):
+        state, r = reflection_update(ctx, state)
+        state, s = swap_update(ctx, state)
+        state, h = hmc_update(ctx, state, hmc_params, recenter=recenter)
+        return state, (r, s, h)
+
+    return jax.vmap(one)(states)
+
+
+def walker_measure(
+    ctx: QMCContext,
+    spec,
+    states: QMCState,
+    est: GreensEstimator,
+    keys,
+    tol: float = 1e-10,
+    maxiter: int = 10_000,
+):
+    """Refresh the Green's estimator and take a full measurement pass per walker.
+    `est` is a single-template estimator; each walker gets its own random vectors."""
+
+    def one(state, key):
+        fdm = make_fdm(ctx, state.x)
+        upd = update_greens_estimator(est, fdm, key, precond=state.precond, tol=tol, maxiter=maxiter)
+        out = make_measurements(ctx, spec, upd.estimator, state.x)
+        return out, upd.iters
+
+    return jax.vmap(one)(states, keys)
