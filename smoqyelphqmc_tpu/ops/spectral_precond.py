@@ -1,0 +1,93 @@
+"""Spectral preconditioner: exact [Mbar^T Mbar]^{-1} via eigendecomposition.
+
+A TPU-native upgrade of the KPM preconditioner (ops/kpm.py,
+/root/reference/src/KPMPreconditioner.jl): for the SYMMETRIC propagator
+factorization, Bbar = CB Dbar CB^T is a real symmetric N x N matrix, so instead
+of a per-frequency Chebyshev expansion (sequential recurrence, latency-bound on
+TPU) we diagonalize Bbar = Q diag(lam) Q^T ONCE per field update and apply the
+per-Matsubara-frequency inverse EXACTLY:
+
+    P^{-1} u = F^dag  Q  diag( 1 / (lam^2 - 2 lam cos(phi_w) + 1) )  Q^T  F u,
+
+i.e. tau-FFT -> one dense (N x N) matmul -> elementwise (Ltau x N) scaling ->
+one dense matmul -> inverse FFT. Everything is MXU-shaped with zero sequential
+loops, and the preconditioner is exact (no Lanczos bounds, no order truncation,
+no activation heuristics — though we keep a guard for degenerate spectra).
+
+Cost: one eigh(N) per update + 4 DFT matmuls and 2 dense matmuls per apply.
+The eigh can run at lower precision than the CG without affecting correctness
+(a preconditioner only needs to be a fixed SPD map)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import register_pytree_dataclass, static_field
+from .fermion_det import FermionDetMatrix
+from .fourier import TauFourier
+from .kpm import averaged_propagator
+
+
+@register_pytree_dataclass
+class SpectralPreconditioner:
+    """Eigendecomposition of Bbar + per-frequency inverse filters."""
+
+    Q: jnp.ndarray  # (N, N) eigenvectors of Bbar
+    filt: jnp.ndarray  # (Ltau, N) 1 / (lam^2 - 2 lam cos(phi_w) + 1)
+    fft: TauFourier
+    Ltau: int = static_field()
+    n_sites: int = static_field()
+
+    def as_operator(self):
+        return lambda r: spectral_apply(self, r)
+
+
+def build_spectral(fdm: FermionDetMatrix) -> SpectralPreconditioner:
+    """Construct from the current fermion matrix (also the update path)."""
+    assert fdm.symmetric, "spectral preconditioner requires the symmetric factorization"
+    bbar = averaged_propagator(fdm)
+    eye = jnp.eye(fdm.n_sites)
+    B = bbar.apply(eye).T  # dense Bbar
+    B = 0.5 * (B + B.T)  # symmetrize against roundoff
+    lam, Q = jnp.linalg.eigh(B)
+    Ltau = fdm.Ltau
+    phi = 2.0 * np.pi * (np.arange(Ltau) + 0.5) / Ltau
+    cos_phi = jnp.asarray(np.cos(phi))
+    denom = lam[None, :] ** 2 - 2.0 * lam[None, :] * cos_phi[:, None] + 1.0  # (Ltau, N)
+    # guard: denom >= (1-|lam|)^2 > 0 unless lam = +-1 exactly at phi = 0/pi
+    filt = 1.0 / jnp.maximum(denom, 1e-12)
+    return SpectralPreconditioner(
+        Q=Q, filt=filt, fft=TauFourier.build(Ltau), Ltau=Ltau, n_sites=fdm.n_sites
+    )
+
+
+def spectral_update(pre: SpectralPreconditioner, fdm: FermionDetMatrix, key=None) -> SpectralPreconditioner:
+    """Refresh for a new field configuration (key accepted for API parity)."""
+    return build_spectral(fdm)
+
+
+def spectral_apply(pre: SpectralPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
+    """z = P^{-1} r for real r (..., Ltau, N); batch axes broadcast."""
+    ur, ui = pre.fft.forward(r)
+    # rotate to the Bbar eigenbasis (site axis is last)
+    ur = ur @ pre.Q
+    ui = ui @ pre.Q
+    ur = ur * pre.filt
+    ui = ui * pre.filt
+    ur = ur @ pre.Q.T
+    ui = ui @ pre.Q.T
+    zr, _ = pre.fft.inverse(ur, ui)
+    return zr
+
+
+def dense_spectral(pre: SpectralPreconditioner) -> np.ndarray:
+    """Dense (Ltau N, Ltau N) matrix of P^{-1} (testing oracle)."""
+    import jax
+
+    dim = pre.Ltau * pre.n_sites
+    eye = np.eye(dim).reshape(dim, pre.Ltau, pre.n_sites)
+    cols = jax.vmap(lambda e: spectral_apply(pre, e))(jnp.asarray(eye))
+    return np.asarray(cols).reshape(dim, dim).T

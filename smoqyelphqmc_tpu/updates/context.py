@@ -28,7 +28,7 @@ from ..ops.checkerboard import CheckerboardStructure, build_checkerboard_structu
 from ..ops.derivatives import ForcePlan, build_force_plan
 from ..ops.efa import FourierAccelerator
 from ..ops.fermion_det import FermionDetMatrix
-from ..ops.kpm import KPMPreconditioner
+from ..ops.preconditioner import build_preconditioner
 from ..utils.pytree import register_pytree_dataclass, static_field
 
 
@@ -57,7 +57,7 @@ class QMCContext:
 class QMCState:
     x: jnp.ndarray  # (n_phonon, Ltau) phonon field
     key: jnp.ndarray  # PRNG key
-    precond: Optional[KPMPreconditioner]  # carried preconditioner state (or None)
+    precond: Optional[object]  # carried preconditioner state (KPM/spectral) or None
 
 
 def make_fdm(ctx: QMCContext, x: jnp.ndarray) -> FermionDetMatrix:
@@ -75,9 +75,13 @@ def initialize_qmc(
     maxiter: int = 10_000,
     eta: float = 0.0,
     use_preconditioner: bool = True,
+    preconditioner: Optional[str] = None,
 ) -> tuple[QMCContext, QMCState]:
     """Build the context and initial state (the reference's setup cascade,
-    SURVEY.md section 3.1, collapsed into one call)."""
+    SURVEY.md section 3.1, collapsed into one call).
+
+    preconditioner: 'spectral' (exact, default for the symmetric factorization),
+    'kpm' (bucketed Chebyshev, any factorization), or None."""
     structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
     plan = build_force_plan(elph, structure)
     efa = FourierAccelerator.build(elph, eta=eta)
@@ -97,7 +101,8 @@ def initialize_qmc(
     x0 = jnp.asarray(elph.x)
     precond = None
     if use_preconditioner:
+        kind = preconditioner or ("spectral" if symmetric else "kpm")
         fdm = make_fdm(ctx, x0)
-        precond = KPMPreconditioner.build(fdm, sub)
+        precond = build_preconditioner(kind, fdm, sub)
     state = QMCState(x=x0, key=key, precond=precond)
     return ctx, state

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bosonic import bosonic_action
-from ..ops.kpm import kpm_update
+from ..ops.preconditioner import refresh_preconditioner
 from ..ops.pff import fermionic_action, sample_pseudofermion_fields
 from .context import QMCContext, QMCState, make_fdm
 
@@ -65,7 +65,7 @@ def _metropolis_core(
 
     fdm_new = make_fdm(ctx, x_new)
     if precond is not None:
-        precond = kpm_update(precond, fdm_new, k_pre)
+        precond = refresh_preconditioner(precond, fdm_new, k_pre)
     res = fermionic_action(Phi, elph, fdm_new, x_new, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
     Sb_new = bosonic_action(elph, x_new)
     S_new = res.Sf + Sb_new

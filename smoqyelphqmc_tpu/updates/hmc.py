@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.bosonic import add_anharmonic_force, add_dispersive_force, bosonic_action
-from ..ops.kpm import kpm_update
+from ..ops.preconditioner import refresh_preconditioner
 from ..ops.pff import fermionic_action, fermionic_action_and_force, sample_pseudofermion_fields
 from ..utils.pytree import register_pytree_dataclass, static_field
 from .context import QMCContext, QMCState, make_fdm
@@ -67,7 +67,7 @@ def hmc_update(
     fdm0 = make_fdm(ctx, x0)
     precond = state.precond
     if precond is not None:
-        precond = kpm_update(precond, fdm0, k_pre0)
+        precond = refresh_preconditioner(precond, fdm0, k_pre0)
 
     Phi, Sf0 = sample_pseudofermion_fields(k_phi, elph, fdm0, x0)
     Sb0 = bosonic_action(elph, x0)
@@ -83,7 +83,7 @@ def hmc_update(
         fdm = make_fdm(ctx, x)
         k_pre = jax.random.fold_in(k_pre0, t + 1)
         if precond is not None:
-            precond = kpm_update(precond, fdm, k_pre)
+            precond = refresh_preconditioner(precond, fdm, k_pre)
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
@@ -108,7 +108,7 @@ def hmc_update(
     # final action
     fdm1 = make_fdm(ctx, x)
     if precond is not None:
-        precond = kpm_update(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
+        precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
     res1 = fermionic_action(Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)
