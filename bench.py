@@ -92,6 +92,30 @@ def bench_matvecs(n_iters=200, batch=2) -> float:
     return n_iters / dt
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator with a trivial op in a watchdog thread; a wedged
+    device tunnel must not hang the benchmark."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            y = jax.jit(lambda a: (a * 2).sum())(jnp.ones((8, 128)))
+            jax.block_until_ready(y)
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "device"
     if mode == "cpu-baseline":
@@ -100,6 +124,25 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         rate = bench_matvecs(n_iters=50)
         print(json.dumps({"cpu_rate": rate}))
+        return
+
+    if not _device_alive():
+        # fall back to CPU so the driver still records a data point
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rate = bench_matvecs(n_iters=50)
+        print(
+            json.dumps(
+                {
+                    "metric": "MtM matvecs/sec (device unreachable — CPU fallback; "
+                    "Holstein honeycomb L=12, beta=12, f64)",
+                    "value": round(rate, 2),
+                    "unit": "matvec/s",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
         return
 
     rate = bench_matvecs()
