@@ -43,9 +43,10 @@ class TauFourier:
     Ltau: int = static_field()
 
     @staticmethod
-    def build(Ltau: int) -> "TauFourier":
+    def build(Ltau: int, dtype: str = "float64") -> "TauFourier":
         wre, wim = dft_matrices(Ltau, sign=-1.0, phase_shift=np.pi, norm=1.0 / np.sqrt(Ltau))
-        return TauFourier(Wre=jnp.asarray(wre), Wim=jnp.asarray(wim), Ltau=Ltau)
+        dt = jnp.dtype(dtype)
+        return TauFourier(Wre=jnp.asarray(wre, dtype=dt), Wim=jnp.asarray(wim, dtype=dt), Ltau=Ltau)
 
     def forward(
         self, vre: jnp.ndarray, vim: Optional[jnp.ndarray] = None

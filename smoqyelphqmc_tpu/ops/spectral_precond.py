@@ -33,19 +33,25 @@ from .kpm import averaged_propagator
 
 @register_pytree_dataclass
 class SpectralPreconditioner:
-    """Eigendecomposition of Bbar + per-frequency inverse filters."""
+    """Eigendecomposition of Bbar + per-frequency inverse filters.
+
+    `dtype` selects the APPLY precision: a preconditioner is just a fixed SPD
+    map, so running its matmuls in float32 (native MXU speed) leaves the f64 CG
+    exact while slashing the per-iteration cost; the eigendecomposition itself
+    stays f64."""
 
     Q: jnp.ndarray  # (N, N) eigenvectors of Bbar
     filt: jnp.ndarray  # (Ltau, N) 1 / (lam^2 - 2 lam cos(phi_w) + 1)
     fft: TauFourier
     Ltau: int = static_field()
     n_sites: int = static_field()
+    dtype: str = static_field(default="float32")
 
     def as_operator(self):
         return lambda r: spectral_apply(self, r)
 
 
-def build_spectral(fdm: FermionDetMatrix) -> SpectralPreconditioner:
+def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPreconditioner:
     """Construct from the current fermion matrix (also the update path)."""
     assert fdm.symmetric, "spectral preconditioner requires the symmetric factorization"
     bbar = averaged_propagator(fdm)
@@ -59,18 +65,26 @@ def build_spectral(fdm: FermionDetMatrix) -> SpectralPreconditioner:
     denom = lam[None, :] ** 2 - 2.0 * lam[None, :] * cos_phi[:, None] + 1.0  # (Ltau, N)
     # guard: denom >= (1-|lam|)^2 > 0 unless lam = +-1 exactly at phi = 0/pi
     filt = 1.0 / jnp.maximum(denom, 1e-12)
+    dt = jnp.dtype(dtype)
     return SpectralPreconditioner(
-        Q=Q, filt=filt, fft=TauFourier.build(Ltau), Ltau=Ltau, n_sites=fdm.n_sites
+        Q=Q.astype(dt),
+        filt=filt.astype(dt),
+        fft=TauFourier.build(Ltau, dtype=dtype),
+        Ltau=Ltau,
+        n_sites=fdm.n_sites,
+        dtype=dtype,
     )
 
 
 def spectral_update(pre: SpectralPreconditioner, fdm: FermionDetMatrix, key=None) -> SpectralPreconditioner:
     """Refresh for a new field configuration (key accepted for API parity)."""
-    return build_spectral(fdm)
+    return build_spectral(fdm, dtype=pre.dtype)
 
 
 def spectral_apply(pre: SpectralPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """z = P^{-1} r for real r (..., Ltau, N); batch axes broadcast."""
+    in_dtype = r.dtype
+    r = r.astype(pre.Q.dtype)
     ur, ui = pre.fft.forward(r)
     # rotate to the Bbar eigenbasis (site axis is last)
     ur = ur @ pre.Q
@@ -80,7 +94,7 @@ def spectral_apply(pre: SpectralPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     ur = ur @ pre.Q.T
     ui = ui @ pre.Q.T
     zr, _ = pre.fft.inverse(ur, ui)
-    return zr
+    return zr.astype(in_dtype)
 
 
 def dense_spectral(pre: SpectralPreconditioner) -> np.ndarray:

@@ -23,7 +23,7 @@ def _fdm(**kw):
 
 def test_spectral_is_exact_inverse_of_averaged_system():
     fdm = _fdm(L=2, beta=1.0, dtau=0.2, alpha=0.5)
-    pre = build_spectral(fdm)
+    pre = build_spectral(fdm, dtype="float64")
     # build Mbar: an fdm whose every slice uses the tau-averaged factors
     expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
     from smoqyelphqmc_tpu.ops.checkerboard import build_checkerboard_op
