@@ -107,8 +107,17 @@ def initialize_tight_binding_parameters(
     t_vals: List[np.ndarray] = []
     bond_slices: List[Tuple[int, int]] = []
     start = 0
-    any_complex = any(np.iscomplexobj(np.asarray(t)) for t in tight_binding_model.t_mean)
-    t_dtype = np.complex128 if any_complex else np.float64
+    any_complex = any(
+        np.iscomplexobj(np.asarray(t)) and np.imag(t) != 0 for t in tight_binding_model.t_mean
+    )
+    if any_complex:
+        raise NotImplementedError(
+            "complex hopping amplitudes are not supported yet: the TPU compute path "
+            "carries complex fields as real channel pairs over a REAL fermion matrix "
+            "(ops/checkerboard.py). Complex t makes M genuinely complex; planned as a "
+            "channel-mixing checkerboard variant."
+        )
+    t_dtype = np.float64
     for b, bond in enumerate(tight_binding_model.t_bonds):
         tables.append(geo.build_neighbor_table(bond))
         tm = np.full(n_cells, tight_binding_model.t_mean[b], dtype=t_dtype)

@@ -32,6 +32,10 @@ class HMCParams:
     Nt: int = static_field(default=24)
     dt: float = static_field(default=0.0)  # 0 -> pi / (2 Nt)
     jitter: float = static_field(default=0.05)  # +-5% timestep noise (:125)
+    # refresh the preconditioner at every leapfrog step (the reference refreshes
+    # per solve) or only once per trajectory (cheaper when the refresh involves
+    # an eigendecomposition; the tau-averaged propagator drifts slowly)
+    refresh_precond_every_step: bool = static_field(default=False)
 
     def timestep(self) -> float:
         import math
@@ -82,7 +86,7 @@ def hmc_update(
         x, p, precond, iters_sum, ok = carry
         fdm = make_fdm(ctx, x)
         k_pre = jax.random.fold_in(k_pre0, t + 1)
-        if precond is not None:
+        if precond is not None and params.refresh_precond_every_step:
             precond = refresh_preconditioner(precond, fdm, k_pre)
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
@@ -107,7 +111,7 @@ def hmc_update(
 
     # final action
     fdm1 = make_fdm(ctx, x)
-    if precond is not None:
+    if precond is not None and params.refresh_precond_every_step:
         precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
     res1 = fermionic_action(Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
