@@ -66,6 +66,57 @@ def build_case(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, seed=0):
     return fdm
 
 
+def build_sim(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, Nt=24, tol=1e-10, seed=0):
+    """Full QMC context/state for sweep-level benchmarking."""
+    import numpy as np
+
+    from smoqyelphqmc_tpu.models.electron_phonon import ElectronPhononParameters
+    from smoqyelphqmc_tpu.models.tight_binding import TightBindingParameters
+    from smoqyelphqmc_tpu.updates.context import initialize_qmc
+
+    import importlib.util, os, sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    from _common import holstein_honeycomb_model
+
+    geo, tbm, em = holstein_honeycomb_model(L, Omega, alpha, 0.0)
+    rng = np.random.default_rng(seed)
+    tbp = TightBindingParameters.from_model(tbm, rng)
+    elph = ElectronPhononParameters.from_model(beta, dtau, em, tbp, rng)
+    ctx, state = initialize_qmc(tbp, elph, seed=seed, tol=tol, preconditioner="spectral")
+    return ctx, state
+
+
+def bench_sweeps(n_sweeps=3, Nt=24):
+    """Full QMC sweeps (reflection + swap + EFA-PFF-HMC) per second, plus the
+    average CG iterations per solve inside the HMC trajectory."""
+    import jax
+
+    from smoqyelphqmc_tpu.updates.global_updates import reflection_update, swap_update
+    from smoqyelphqmc_tpu.updates.hmc import HMCParams, hmc_update
+
+    ctx, state = build_sim(Nt=Nt)
+    params = HMCParams(Nt=Nt)
+
+    @jax.jit
+    def sweep(s):
+        s, _ = reflection_update(ctx, s)
+        s, _ = swap_update(ctx, s)
+        s, h = hmc_update(ctx, s, params)
+        return s, h
+
+    state, h = sweep(state)
+    jax.block_until_ready(state.x)  # compile + warm
+    t0 = time.perf_counter()
+    iters = 0.0
+    for _ in range(n_sweeps):
+        state, h = sweep(state)
+        iters += float(h.iters_avg)
+    jax.block_until_ready(state.x)
+    dt = time.perf_counter() - t0
+    return n_sweeps / dt, iters / n_sweeps
+
+
 def bench_matvecs(n_iters=200, batch=2) -> float:
     """Return M^T M applications per second (one application = one batched field)."""
     import jax
@@ -166,11 +217,21 @@ def main():
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu_rate = None
 
+    try:
+        sweeps_rate, cg_iters = bench_sweeps()
+    except Exception as e:  # pragma: no cover
+        print(f"sweep benchmark failed: {e}", file=sys.stderr)
+        sweeps_rate, cg_iters = None, None
+
     result = {
         "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
         "value": round(rate, 2),
         "unit": "matvec/s",
         "vs_baseline": round(rate / cpu_rate, 2) if cpu_rate else None,
+        "extras": {
+            "hmc_sweeps_per_sec": round(sweeps_rate, 4) if sweeps_rate else None,
+            "cg_iters_per_solve": round(cg_iters, 1) if cg_iters else None,
+        },
     }
     print(json.dumps(result))
 

@@ -98,7 +98,7 @@ def run(
     metadata["measurement_iters"] /= max(N_measurements, 1)
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)
-    process_measurements(sim_info.datafolder, n_bins=N_bins)
+    process_measurements(sim_info.datafolder, n_bins=N_bins, spec=spec)
     return metadata
 
 

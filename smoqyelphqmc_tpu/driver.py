@@ -273,6 +273,6 @@ def run_simulation(
 
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)
-    process_measurements(sim_info.datafolder, n_bins=cfg.N_bins)
+    process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
     delete_checkpoints(sim_info.datafolder, sim_info.pID)
     return metadata

@@ -120,6 +120,36 @@ def _momentum_transform(corr: np.ndarray) -> np.ndarray:
     return np.fft.fftn(corr, axes=tuple(range(1, corr.ndim)))
 
 
+def _orbital_pair_phase(geometry, id_pair, kind: str, Lshape) -> Optional[np.ndarray]:
+    """Momentum-space basis phase exp(-i q . (d_a - d_b)) over the q grid for an
+    orbital-pair correlation (JDQMCMeasurements.fourier_transform! capability:
+    basis-vector phase factors in the r -> k transform). Bond/current kinds use
+    the final orbital of each bond; returns None when no phase applies."""
+    from ..measure.container import BOND_KINDS, CURRENT_KINDS, ORBITAL_KINDS
+
+    if geometry is None:
+        return None
+    a, b = id_pair
+    if kind in ORBITAL_KINDS:
+        da = np.asarray(geometry.unit_cell.basis_vecs[a])
+        db = np.asarray(geometry.unit_cell.basis_vecs[b])
+    elif kind in BOND_KINDS + CURRENT_KINDS:
+        ba, bb = geometry.bond(a), geometry.bond(b)
+        da = np.asarray(geometry.unit_cell.basis_vecs[ba.orbitals[1]])
+        db = np.asarray(geometry.unit_cell.basis_vecs[bb.orbitals[1]])
+    else:
+        return None
+    dd = da - db
+    if not np.any(dd):
+        return None
+    B = geometry.unit_cell.reciprocal_vec_matrix  # rows b_d
+    grids = np.meshgrid(*[np.arange(l) for l in Lshape], indexing="ij")
+    phase = np.zeros(tuple(Lshape))
+    for d, g in enumerate(grids):
+        phase = phase + (g / Lshape[d]) * float(B[d] @ dd)
+    return np.exp(-1j * phase)
+
+
 def process_measurements(
     datafolder: str,
     n_bins: Optional[int] = None,
@@ -127,6 +157,7 @@ def process_measurements(
     decimals: int = 7,
     delimiter: str = " ",
     scientific_notation: bool = False,
+    spec=None,
 ) -> str:
     """Re-bin, reduce to mean +- stderr, write stats.h5 (+ CSV files).
 
@@ -197,6 +228,14 @@ def process_measurements(
                 #              (bin, Lt+1, *L) for composites
                 lat_axes = tuple(range(3, data.ndim)) if category == "correlations" else tuple(range(2, data.ndim))
                 data_q = np.fft.fftn(data, axes=lat_axes)
+                # orbital basis-vector phases in momentum space
+                if category == "correlations" and spec is not None and name in spec.correlations:
+                    req = spec.correlations[name]
+                    Lshape = data.shape[3:]
+                    for k, pair in enumerate(req.id_pairs):
+                        ph = _orbital_pair_phase(spec.geometry, pair, req.kind, Lshape)
+                        if ph is not None:
+                            data_q[:, k] = data_q[:, k] * ph[None, None]
                 mean_q, err_q = _stats(data_q)
                 g.create_dataset("mean_q", data=mean_q)
                 g.create_dataset("std_q", data=err_q)
