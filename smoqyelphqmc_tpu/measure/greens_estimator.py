@@ -146,19 +146,16 @@ def update_greens_estimator(
     precond=None,
     tol: float = 1e-10,
     maxiter: int = 10_000,
+    mixed: bool = False,
 ) -> EstimatorUpdate:
     """Draw fresh unit-phase random vectors and solve GR = M^{-1} R in one
     batched CG (update_greens_estimator!, GreensEstimator.jl:125-175)."""
+    from ..ops.fermion_det import solve_MtM
+
     theta = jax.random.uniform(key, (est.Nrv, est.Ltau, fdm.n_sites), maxval=2.0 * np.pi)
     R = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # (Nrv, 2, Ltau, N)
     MtR = fdm.mul_Mt(R)
-    GR, stats = cg_solve(
-        fdm.mul_MtM,
-        MtR,
-        precond=precond.as_operator() if precond is not None else None,
-        tol=tol,
-        maxiter=maxiter,
-    )
+    GR, stats = solve_MtM(fdm, MtR, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
     est = est.replace(R=R, GR=GR)
     return EstimatorUpdate(estimator=est, iters=stats.iters, converged=stats.converged)
 

@@ -102,3 +102,70 @@ def cg_solve(
     finite = jnp.all(jnp.isfinite(x))
     converged = jnp.logical_and(finite, jnp.logical_not(jnp.any(active)))
     return x, CGStats(iters=iters, eps=eps, converged=converged)
+
+
+def cg_solve_mixed(
+    apply_A: Callable[[jnp.ndarray], jnp.ndarray],
+    apply_A_low: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    inner_tol: float = 1e-5,
+    max_outer: int = 12,
+):
+    """Mixed-precision defect-correction (reliable-update) CG.
+
+    The standard accelerator formulation from the lattice-QCD literature (see
+    PAPERS.md): the Krylov work runs in float32 — near-native TPU speed — while
+    an outer loop computes true float64 residuals and accumulates corrections,
+
+        r = b - A x   (f64);   solve A e ~= r in f32 to inner_tol;   x += e,
+
+    so the result converges to the float64 solution of the float64 operator.
+    Each outer cycle gains ~inner_tol in relative residual, so reaching 1e-10
+    takes 2-3 cycles of cheap f32 iterations plus a handful of f64 matvecs.
+
+    apply_A_low (and the preconditioner) operate on float32 arrays.
+    """
+    if precond is None:
+        precond = lambda r: r
+
+    normb = jnp.sqrt(_sys_dot(b, b))
+    safe_normb = jnp.where(normb > 0, normb, 1.0)
+
+    def outer_cond(carry):
+        x, eps, it_total, outer, done = carry
+        return jnp.logical_and(~done, outer < max_outer)
+
+    def outer_body(carry):
+        x, eps, it_total, outer, done = carry
+        r = b - apply_A(x)
+        eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+        done = jnp.all(eps < tol)
+
+        def correct(args):
+            x, r, it_total = args
+            e32, stats = cg_solve(
+                apply_A_low,
+                r.astype(jnp.float32),
+                precond=precond,
+                tol=inner_tol,
+                maxiter=maxiter,
+            )
+            x = x + e32.astype(x.dtype)
+            return x, it_total + stats.iters
+
+        x, it_total = lax.cond(done, lambda a: (a[0], a[2]), correct, (x, r, it_total))
+        return (x, eps, it_total, outer + 1, done)
+
+    x = jnp.zeros_like(b)
+    eps = jnp.ones(b.shape[:-2])
+    carry = (x, eps, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, eps, it_total, outer, done = lax.while_loop(outer_cond, outer_body, carry)
+    # final residual check
+    r = b - apply_A(x)
+    eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+    finite = jnp.all(jnp.isfinite(x))
+    converged = jnp.logical_and(finite, jnp.all(eps < tol))
+    return x, CGStats(iters=it_total, eps=eps, converged=converged)

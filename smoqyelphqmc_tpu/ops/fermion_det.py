@@ -107,7 +107,7 @@ class FermionDetMatrix:
         """
         u = jnp.roll(v, 1, axis=-2)  # u[l] = v[l-1] (antiperiodic wrap handled by sign)
         u = self.apply_B(u)
-        sgn = _boundary_sign_first(self.Ltau)
+        sgn = _boundary_sign_first(self.Ltau).astype(v.dtype)
         return v + sgn * u
 
     def mul_Mt(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -118,7 +118,7 @@ class FermionDetMatrix:
         """
         w = self.apply_Bt(v)
         w = jnp.roll(w, -1, axis=-2)  # w[l] = (B^T v)[l+1], wraps to row 0 at the end
-        sgn = _boundary_sign_last(self.Ltau)
+        sgn = _boundary_sign_last(self.Ltau).astype(v.dtype)
         return v + sgn * w
 
     def mul_MtM(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +128,26 @@ class FermionDetMatrix:
         return self.mul_M(self.mul_Mt(v))
 
     # ------------------------------------------------------------------
+    def astype(self, dtype) -> "FermionDetMatrix":
+        """Cast the propagator factors (for the f32 inner solves of
+        mixed-precision CG — ops/cg.py:cg_solve_mixed)."""
+        dt = jnp.dtype(dtype)
+        return FermionDetMatrix(
+            exp_nV=self.exp_nV.astype(dt),
+            cb=CheckerboardOp(
+                C=self.cb.C.astype(dt),
+                S=self.cb.S.astype(dt),
+                partner=self.cb.partner,
+                n_colors=self.cb.n_colors,
+            ),
+            cosh_hop=self.cosh_hop.astype(dt),
+            sinh_hop=self.sinh_hop.astype(dt),
+            symmetric=self.symmetric,
+            structure=self.structure,
+            Ltau=self.Ltau,
+            n_sites=self.n_sites,
+        )
+
     @property
     def dim(self) -> int:
         return self.Ltau * self.n_sites
@@ -159,6 +179,26 @@ def _boundary_sign_last(Ltau: int) -> jnp.ndarray:
 
 def make_structure(neighbor_table: np.ndarray, n_sites: int) -> CheckerboardStructure:
     return build_checkerboard_structure(neighbor_table, n_sites)
+
+
+def solve_MtM(
+    fdm: FermionDetMatrix,
+    rhs: jnp.ndarray,
+    precond=None,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    mixed: bool = False,
+):
+    """[M^T M]^{-1} rhs via batched (optionally mixed-precision) preconditioned CG."""
+    from .cg import cg_solve, cg_solve_mixed
+
+    pre_op = precond.as_operator() if precond is not None else None
+    if mixed:
+        fdm32 = fdm.astype(jnp.float32)
+        return cg_solve_mixed(
+            fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter
+        )
+    return cg_solve(fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter)
 
 
 # ----------------------------------------------------------------------

@@ -60,18 +60,15 @@ def fermionic_action(
     precond: Optional[object] = None,
     tol: float = 1e-10,
     maxiter: int = 1000,
+    mixed: bool = False,
 ) -> ActionResult:
     """S_f = Phi^dag Lambda^{-1} [M^T M]^{-1} Lambda^{-T} Phi — one CG solve
     (calculate_fermionic_action!, PFFCalculator.jl:79-116)."""
+    from .fermion_det import solve_MtM
+
     Lam = build_lambda(elph, x, fdm.n_sites)
     rhs = ldiv_lambda_T(Lam, Phi)
-    psi, stats = cg_solve(
-        fdm.mul_MtM,
-        rhs,
-        precond=precond.as_operator() if precond is not None else None,
-        tol=tol,
-        maxiter=maxiter,
-    )
+    psi, stats = solve_MtM(fdm, rhs, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
     psi = ldiv_lambda(Lam, psi)
     # complex dot Phi^dag psi: Re = sum_ch Phi.psi ; Im = Phi_re.psi_im - Phi_im.psi_re
     Sf = jnp.sum(Phi * psi)
@@ -94,10 +91,11 @@ def fermionic_action_and_force(
     precond: Optional[object] = None,
     tol: float = 1e-8,
     maxiter: int = 1000,
+    mixed: bool = False,
 ) -> ForceResult:
     """dS_f/dx = -2 Re([A psi]^T [dM/dx][Lambda psi]) - 2 Re([M^T A psi]^T [dLambda/dx][psi]),
     A = M Lambda (calculate_derivative_fermionic_action!, PFFCalculator.jl:119-158)."""
-    res = fermionic_action(Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter)
+    res = fermionic_action(Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
     Lam = build_lambda(elph, x, fdm.n_sites)
     lam_psi = mul_lambda(Lam, res.psi)
     A_psi = fdm.mul_M(lam_psi)

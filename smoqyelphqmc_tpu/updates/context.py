@@ -43,6 +43,7 @@ class QMCContext:
     tol: float = static_field()
     tol_force: float = static_field()
     maxiter: int = static_field()
+    mixed_precision: bool = static_field(default=False)
 
     @property
     def Ltau(self) -> int:
@@ -76,6 +77,7 @@ def initialize_qmc(
     eta: float = 0.0,
     use_preconditioner: bool = True,
     preconditioner: Optional[str] = None,
+    mixed_precision: bool = False,
 ) -> tuple[QMCContext, QMCState]:
     """Build the context and initial state (the reference's setup cascade,
     SURVEY.md section 3.1, collapsed into one call).
@@ -95,6 +97,7 @@ def initialize_qmc(
         tol=tol,
         tol_force=float(np.sqrt(tol)) if tol_force is None else tol_force,
         maxiter=maxiter,
+        mixed_precision=mixed_precision,
     )
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)

@@ -66,7 +66,10 @@ def _metropolis_core(
     fdm_new = make_fdm(ctx, x_new)
     if precond is not None:
         precond = refresh_preconditioner(precond, fdm_new, k_pre)
-    res = fermionic_action(Phi, elph, fdm_new, x_new, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
+    res = fermionic_action(
+        Phi, elph, fdm_new, x_new, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
+        mixed=ctx.mixed_precision,
+    )
     Sb_new = bosonic_action(elph, x_new)
     S_new = res.Sf + Sb_new
 

@@ -91,6 +91,7 @@ def hmc_update(
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
+            mixed=ctx.mixed_precision,
         )
         force = res.force
         force = add_anharmonic_force(force, elph, x)
@@ -113,7 +114,10 @@ def hmc_update(
     fdm1 = make_fdm(ctx, x)
     if precond is not None and params.refresh_precond_every_step:
         precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
-    res1 = fermionic_action(Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter)
+    res1 = fermionic_action(
+        Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
+        mixed=ctx.mixed_precision,
+    )
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)
     K1 = efa.kinetic_energy(p)
