@@ -51,6 +51,8 @@ class SimulationConfig:
     checkpoint_freq_hours: float = np.inf
     runtime_limit_hours: float = np.inf
     use_preconditioner: bool = True
+    preconditioner: Optional[str] = None  # 'spectral' | 'kpm' | None -> default
+    mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
 
 
 def run_simulation(
@@ -83,6 +85,8 @@ def run_simulation(
         tol=cfg.tol,
         maxiter=cfg.maxiter,
         use_preconditioner=cfg.use_preconditioner,
+        preconditioner=cfg.preconditioner,
+        mixed_precision=cfg.mixed_precision,
     )
     est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv)
     hmc_params = HMCParams(Nt=cfg.Nt)
@@ -130,7 +134,8 @@ def run_simulation(
     def measure_pass(ctx_, state_: QMCState, est_, key):
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
-            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter
+            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
+            mixed=cfg.mixed_precision,
         )
         out = make_measurements(ctx_, spec, upd.estimator, state_.x)
         n_re, _ = measure_n(upd.estimator)
@@ -141,7 +146,8 @@ def run_simulation(
     def tune_pass(ctx_, state_: QMCState, est_, key):
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
-            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter
+            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
+            mixed=cfg.mixed_precision,
         )
         n_re, _ = measure_n(upd.estimator)
         Nsq_re, _ = measure_Nsqrd(upd.estimator)

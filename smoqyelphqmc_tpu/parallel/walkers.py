@@ -83,13 +83,16 @@ def walker_measure(
     keys,
     tol: float = 1e-10,
     maxiter: int = 10_000,
+    mixed: bool = False,
 ):
     """Refresh the Green's estimator and take a full measurement pass per walker.
     `est` is a single-template estimator; each walker gets its own random vectors."""
 
     def one(state, key):
         fdm = make_fdm(ctx, state.x)
-        upd = update_greens_estimator(est, fdm, key, precond=state.precond, tol=tol, maxiter=maxiter)
+        upd = update_greens_estimator(
+            est, fdm, key, precond=state.precond, tol=tol, maxiter=maxiter, mixed=mixed
+        )
         out = make_measurements(ctx, spec, upd.estimator, state.x)
         return out, upd.iters
 
