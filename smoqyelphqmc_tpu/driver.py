@@ -53,6 +53,7 @@ class SimulationConfig:
     use_preconditioner: bool = True
     preconditioner: Optional[str] = None  # 'spectral' | 'kpm' | None -> default
     mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
+    measurement_dtype: str = "float64"  # contraction-engine dtype ('float32' for speed)
 
 
 def run_simulation(
@@ -88,7 +89,9 @@ def run_simulation(
         preconditioner=cfg.preconditioner,
         mixed_precision=cfg.mixed_precision,
     )
-    est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv)
+    est = build_greens_estimator(
+        elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
+    )
     hmc_params = HMCParams(Nt=cfg.Nt)
 
     tuner: Optional[MuTunerState] = None

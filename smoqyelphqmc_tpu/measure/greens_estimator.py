@@ -58,6 +58,10 @@ class GreensEstimator:
     Ltau: int = static_field()
     n_orb: int = static_field()
     L: Tuple[int, ...] = static_field()
+    # dtype of the contraction engine: float32 rounding (~1e-7) is far below the
+    # 1/sqrt(Nrv...) statistical noise of the estimators, so the FFT/product
+    # arithmetic can run at native MXU speed while the CG solves stay f64
+    dtype: str = static_field(default="float64")
 
     # ------------------------------------------------------------------
     @property
@@ -118,24 +122,26 @@ class EstimatorUpdate(NamedTuple):
 
 
 def build_greens_estimator(
-    Ltau: int, n_orb: int, L: Sequence[int], Nrv: int = 10
+    Ltau: int, n_orb: int, L: Sequence[int], Nrv: int = 10, dtype: str = "float64"
 ) -> GreensEstimator:
     L = tuple(int(x) for x in L)
     n_sites = int(np.prod(L)) * n_orb
-    zeros = jnp.zeros((Nrv, 2, Ltau, n_sites))
+    dt = jnp.dtype(dtype)
+    zeros = jnp.zeros((Nrv, 2, Ltau, n_sites), dtype=dt)
     return GreensEstimator(
         R=zeros,
         GR=zeros,
-        tau2_fwd=AxisDFT.build(2 * Ltau),
-        tau2_inv=AxisDFT.build(2 * Ltau, inverse=True),
-        tau_fwd=AxisDFT.build(Ltau),
-        tau_inv=AxisDFT.build(Ltau, inverse=True),
-        space_fwd=tuple(AxisDFT.build(l) for l in L),
-        space_inv=tuple(AxisDFT.build(l, inverse=True) for l in L),
+        tau2_fwd=AxisDFT.build(2 * Ltau, dtype=dtype),
+        tau2_inv=AxisDFT.build(2 * Ltau, inverse=True, dtype=dtype),
+        tau_fwd=AxisDFT.build(Ltau, dtype=dtype),
+        tau_inv=AxisDFT.build(Ltau, inverse=True, dtype=dtype),
+        space_fwd=tuple(AxisDFT.build(l, dtype=dtype) for l in L),
+        space_inv=tuple(AxisDFT.build(l, inverse=True, dtype=dtype) for l in L),
         Nrv=Nrv,
         Ltau=Ltau,
         n_orb=n_orb,
         L=L,
+        dtype=dtype,
     )
 
 
@@ -156,7 +162,8 @@ def update_greens_estimator(
     R = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # (Nrv, 2, Ltau, N)
     MtR = fdm.mul_Mt(R)
     GR, stats = solve_MtM(fdm, MtR, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
-    est = est.replace(R=R, GR=GR)
+    dt = jnp.dtype(est.dtype)
+    est = est.replace(R=R.astype(dt), GR=GR.astype(dt))
     return EstimatorUpdate(estimator=est, iters=stats.iters, converged=stats.converged)
 
 

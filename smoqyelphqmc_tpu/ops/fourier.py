@@ -81,11 +81,14 @@ class AxisDFT:
     inverse_norm: bool = static_field()
 
     @staticmethod
-    def build(n: int, inverse: bool = False) -> "AxisDFT":
+    def build(n: int, inverse: bool = False, dtype: str = "float64") -> "AxisDFT":
         sign = 1.0 if inverse else -1.0
         norm = 1.0 / n if inverse else 1.0
         wre, wim = dft_matrices(n, sign=sign, norm=norm)
-        return AxisDFT(Wre=jnp.asarray(wre), Wim=jnp.asarray(wim), n=n, inverse_norm=inverse)
+        dt = jnp.dtype(dtype)
+        return AxisDFT(
+            Wre=jnp.asarray(wre, dtype=dt), Wim=jnp.asarray(wim, dtype=dt), n=n, inverse_norm=inverse
+        )
 
     def apply(
         self, vre: jnp.ndarray, vim: Optional[jnp.ndarray], axis: int
