@@ -32,7 +32,7 @@ import numpy as np
 
 from ..ops.cg import cg_solve
 from ..ops.fermion_det import FermionDetMatrix
-from ..ops.fourier import AxisDFT
+from ..ops.fourier import AxisDFT, FactoredDFT
 from ..utils.pytree import register_pytree_dataclass, static_field
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
@@ -131,10 +131,10 @@ def build_greens_estimator(
     return GreensEstimator(
         R=zeros,
         GR=zeros,
-        tau2_fwd=AxisDFT.build(2 * Ltau, dtype=dtype),
-        tau2_inv=AxisDFT.build(2 * Ltau, inverse=True, dtype=dtype),
-        tau_fwd=AxisDFT.build(Ltau, dtype=dtype),
-        tau_inv=AxisDFT.build(Ltau, inverse=True, dtype=dtype),
+        tau2_fwd=FactoredDFT.build(2 * Ltau, dtype=dtype),
+        tau2_inv=FactoredDFT.build(2 * Ltau, inverse=True, norm=1.0 / (2 * Ltau), dtype=dtype),
+        tau_fwd=FactoredDFT.build(Ltau, dtype=dtype),
+        tau_inv=FactoredDFT.build(Ltau, inverse=True, norm=1.0 / Ltau, dtype=dtype),
         space_fwd=tuple(AxisDFT.build(l, dtype=dtype) for l in L),
         space_inv=tuple(AxisDFT.build(l, inverse=True, dtype=dtype) for l in L),
         Nrv=Nrv,
