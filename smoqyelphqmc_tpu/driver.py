@@ -54,6 +54,7 @@ class SimulationConfig:
     preconditioner: Optional[str] = None  # 'spectral' | 'kpm' | None -> default
     mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
     measurement_dtype: str = "float64"  # contraction-engine dtype ('float32' for speed)
+    n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
 
 
 def run_simulation(
@@ -67,7 +68,13 @@ def run_simulation(
 ) -> Dict:
     """Full simulation: thermalize, measure into bins, post-process. Returns the
     metadata dict (acceptance rates, CG iteration averages — the reference's
-    simulation_info.toml content, tutorials/holstein_honeycomb.jl:110-130)."""
+    simulation_info.toml content, tutorials/holstein_honeycomb.jl:110-130).
+
+    With cfg.n_walkers > 1 the chain state carries a leading walker axis
+    (sharded over the device mesh when several devices are visible); each walker
+    writes its own pID-tagged bin stream, replacing the reference's MPI ranks."""
+    if cfg.n_walkers > 1:
+        return _run_multiwalker(sim_info, tight_binding_model, electron_phonon_model, spec, cfg, recenter)
     start_time = time.time()
     initialize_datafolder(sim_info)
     geo = spec.geometry
@@ -284,4 +291,100 @@ def run_simulation(
     save_simulation_info(sim_info, metadata)
     process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
     delete_checkpoints(sim_info.datafolder, sim_info.pID)
+    return metadata
+
+
+def _run_multiwalker(
+    sim_info: SimulationInfo,
+    tight_binding_model,
+    electron_phonon_model,
+    spec: MeasurementSpec,
+    cfg: SimulationConfig,
+    recenter=None,
+) -> Dict:
+    """Walker-axis variant of run_simulation: W independent chains advance as one
+    vmapped program (sharded over the device mesh when possible); per-walker bin
+    streams are tagged by pID exactly like the reference's MPI ranks
+    (tutorials/holstein_honeycomb_mpi.jl:59-72)."""
+    from .parallel.walkers import (
+        init_walker_states,
+        shard_walker_states,
+        walker_measure,
+        walker_mesh,
+        walker_sweep,
+    )
+
+    assert cfg.target_density is None, "mu tuning with walker batching lands in a later round"
+    initialize_datafolder(sim_info)
+    geo = spec.geometry
+    model_summary(sim_info, cfg.beta, cfg.dtau, geo, tight_binding_model, (electron_phonon_model,))
+
+    rng = np.random.default_rng(cfg.seed)
+    tbp = TightBindingParameters.from_model(tight_binding_model, rng)
+    elph = ElectronPhononParameters.from_model(cfg.beta, cfg.dtau, electron_phonon_model, tbp, rng)
+    ctx, state0 = initialize_qmc(
+        tbp, elph, seed=cfg.seed, symmetric=cfg.symmetric, tol=cfg.tol,
+        maxiter=cfg.maxiter, use_preconditioner=cfg.use_preconditioner,
+        preconditioner=cfg.preconditioner, mixed_precision=cfg.mixed_precision,
+    )
+    W = cfg.n_walkers
+    mesh = walker_mesh(min(W, len(jax.devices())))
+    states = shard_walker_states(init_walker_states(ctx, state0, W, seed=cfg.seed + 1), mesh)
+    est = build_greens_estimator(
+        elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
+    )
+    hmc_params = HMCParams(Nt=cfg.Nt)
+
+    sweep = jax.jit(lambda s: walker_sweep(ctx, s, hmc_params, recenter=recenter))
+    measure = jax.jit(
+        lambda s, keys: walker_measure(
+            ctx, spec, s, est, keys, tol=cfg.tol, maxiter=cfg.maxiter, mixed=cfg.mixed_precision
+        )
+    )
+
+    metadata: Dict = {
+        "n_walkers": W,
+        "hmc_acceptance_rate": 0.0,
+        "reflection_acceptance_rate": 0.0,
+        "swap_acceptance_rate": 0.0,
+        "hmc_iters": 0.0,
+        "measurement_iters": 0.0,
+    }
+    for _ in range(cfg.N_therm):
+        states, _ = sweep(states)
+
+    accs = [MeasurementAccumulator(spec) for _ in range(W)]
+    key = jax.random.PRNGKey(cfg.seed + 17)
+    bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
+    n_up = cfg.N_therm + cfg.N_measurements
+    for m in range(cfg.N_measurements):
+        states, (r, s, h) = sweep(states)
+        metadata["reflection_acceptance_rate"] += float(np.mean(np.asarray(r.accepted)))
+        metadata["swap_acceptance_rate"] += float(np.mean(np.asarray(s.accepted)))
+        metadata["hmc_acceptance_rate"] += float(np.mean(np.asarray(h.accepted)))
+        metadata["hmc_iters"] += float(np.mean(np.asarray(h.iters_avg)))
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, W)
+        out, iters = measure(states, keys)
+        metadata["measurement_iters"] += float(np.mean(np.asarray(iters)))
+        host = jax.tree_util.tree_map(np.asarray, out)
+        for w in range(W):
+            accs[w].accumulate(jax.tree_util.tree_map(lambda a, w=w: a[w], host))
+        if (m + 1) % bin_size == 0:
+            b = (m + 1) // bin_size - 1
+            for w in range(W):
+                si = SimulationInfo(
+                    filepath=sim_info.filepath,
+                    datafolder_prefix=sim_info.datafolder_prefix,
+                    sID=sim_info.sID,
+                    pID=w,
+                )
+                write_measurement_bin(si, b, accs[w].finalize_bin(), spec, dtau=cfg.dtau)
+
+    for k in ("hmc_acceptance_rate", "reflection_acceptance_rate", "swap_acceptance_rate",
+              "hmc_iters", "measurement_iters"):
+        metadata[k] /= max(cfg.N_measurements, 1)
+    merge_bins(sim_info)
+    save_simulation_info(sim_info, metadata)
+    process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
     return metadata
