@@ -117,6 +117,28 @@ def bench_sweeps(n_sweeps=3, Nt=24):
     return n_sweeps / dt, iters / n_sweeps
 
 
+def bench_walker_sweeps(W=8, n_sweeps=2, Nt=24):
+    """Aggregate walker-sweeps/sec with W chains batched on one chip — the
+    per-iteration cost is latency-bound, so batching walkers through the same
+    CG is nearly free throughput (parallel/walkers.py)."""
+    import jax
+
+    from smoqyelphqmc_tpu.parallel.walkers import init_walker_states, walker_sweep
+    from smoqyelphqmc_tpu.updates.hmc import HMCParams
+
+    ctx, state0 = build_sim(Nt=Nt)
+    states = init_walker_states(ctx, state0, W, seed=1)
+    params = HMCParams(Nt=Nt)
+    step = jax.jit(lambda s: walker_sweep(ctx, s, params))
+    states, _ = step(states)
+    jax.block_until_ready(states.x)
+    t0 = time.perf_counter()
+    for _ in range(n_sweeps):
+        states, _ = step(states)
+    jax.block_until_ready(states.x)
+    return n_sweeps * W / (time.perf_counter() - t0)
+
+
 def bench_matvecs(n_iters=200, batch=2) -> float:
     """Return M^T M applications per second (one application = one batched field)."""
     import jax
@@ -223,6 +245,12 @@ def main():
         print(f"sweep benchmark failed: {e}", file=sys.stderr)
         sweeps_rate, cg_iters = None, None
 
+    try:
+        walker_rate = bench_walker_sweeps(W=8)
+    except Exception as e:  # pragma: no cover
+        print(f"walker benchmark failed: {e}", file=sys.stderr)
+        walker_rate = None
+
     result = {
         "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
         "value": round(rate, 2),
@@ -230,6 +258,7 @@ def main():
         "vs_baseline": round(rate / cpu_rate, 2) if cpu_rate else None,
         "extras": {
             "hmc_sweeps_per_sec": round(sweeps_rate, 4) if sweeps_rate else None,
+            "walker8_sweeps_per_sec": round(walker_rate, 4) if walker_rate else None,
             "cg_iters_per_solve": round(cg_iters, 1) if cg_iters else None,
         },
     }
