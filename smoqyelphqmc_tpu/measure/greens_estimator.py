@@ -280,7 +280,6 @@ def _site_sum_correction(
     GXi_s = _roll_cells(est, GXi, shift, +1)
     pr, pi = _cmul(GXr_s, GXi_s, RYr, RYi)  # (Nrv, Ltau, *L)
     if tD is not None or t0 is not None:
-        wr, wi = jnp.ones(()), None
         if tD is not None:
             wr_, wi_ = tD
             wr_ = _roll_cells(est, wr_, t_shift, +1)
