@@ -53,7 +53,9 @@ class SimulationConfig:
     use_preconditioner: bool = True
     preconditioner: Optional[str] = None  # 'spectral' | 'kpm' | None -> default
     mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
-    measurement_dtype: str = "float64"  # contraction-engine dtype ('float32' for speed)
+    # contraction-engine dtype: f32 rounding (~1e-7) is far below statistical
+    # noise; measured 16x faster than f64 on TPU (BENCH.md)
+    measurement_dtype: str = "float32"
     n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
 
 
