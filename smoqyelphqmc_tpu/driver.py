@@ -56,6 +56,9 @@ class SimulationConfig:
     # contraction-engine dtype: f32 rounding (~1e-7) is far below statistical
     # noise; measured 16x faster than f64 on TPU (BENCH.md)
     measurement_dtype: str = "float32"
+    # leapfrog force-solve dtype: forces only shape the proposal (tolerance
+    # sqrt(tol) ~ 1e-5); Metropolis exactness rests on the f64 endpoint actions
+    force_dtype: str = "float64"
     n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
 
 
@@ -97,6 +100,7 @@ def run_simulation(
         use_preconditioner=cfg.use_preconditioner,
         preconditioner=cfg.preconditioner,
         mixed_precision=cfg.mixed_precision,
+        force_dtype=cfg.force_dtype,
     )
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
@@ -328,6 +332,7 @@ def _run_multiwalker(
         tbp, elph, seed=cfg.seed, symmetric=cfg.symmetric, tol=cfg.tol,
         maxiter=cfg.maxiter, use_preconditioner=cfg.use_preconditioner,
         preconditioner=cfg.preconditioner, mixed_precision=cfg.mixed_precision,
+        force_dtype=cfg.force_dtype,
     )
     W = cfg.n_walkers
     mesh = walker_mesh(min(W, len(jax.devices())))

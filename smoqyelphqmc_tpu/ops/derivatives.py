@@ -111,8 +111,8 @@ def _add_ssh_color_force(
     # Re( conj(up[l,j]) dK v'[l,i] + conj(up[l,i]) dK v'[l,j] ) for real dK
     prod = jnp.sum(up[..., j] * vp[..., i] + up[..., i] * vp[..., j], axis=0)  # (Ltau, n_c)
     val = nu * dK * prod.T  # (n_c, Ltau)
-    force = force.at[p].add(-val * jnp.asarray(plan.finite_i[color])[:, None])
-    force = force.at[pf].add(val * jnp.asarray(plan.finite_f[color])[:, None])
+    force = force.at[p].add(-val * jnp.asarray(plan.finite_i[color], dtype=val.dtype)[:, None])
+    force = force.at[pf].add(val * jnp.asarray(plan.finite_f[color], dtype=val.dtype)[:, None])
     return force
 
 
@@ -139,7 +139,7 @@ def _add_holstein_V_force(
         + 4.0 * elph.hol_alpha4[:, None] * xp**3
     )
     prod = jnp.sum(up[..., sites] * vp[..., sites], axis=0)  # (Ltau, n_hol)
-    val = nu * dV * prod.T * jnp.asarray(plan.hol_finite)[:, None]
+    val = nu * dV * prod.T * jnp.asarray(plan.hol_finite, dtype=prod.dtype)[:, None]
     return force.at[phonons].add(val)
 
 
@@ -163,7 +163,7 @@ def add_M_derivative_force(
     dtau = elph.dtau
 
     # v' = B_l (+-v[l-1]): the tau-shifted, sign-fixed column the derivative acts on
-    vp = jnp.roll(v, 1, axis=-2) * _boundary_sign_first(fdm.Ltau)
+    vp = jnp.roll(v, 1, axis=-2) * _boundary_sign_first(fdm.Ltau).astype(v.dtype)
     vp = fdm.apply_B(vp)
     up = u
 

@@ -25,7 +25,7 @@ def build_lambda(elph: ElectronPhononParameters, x: jnp.ndarray, n_sites: int) -
     Ltau = elph.Ltau
     sign = np.full((Ltau, 1), -1.0)
     sign[0, 0] = 1.0
-    base = jnp.asarray(sign)
+    base = jnp.asarray(sign, dtype=x.dtype)
     idx = np.where(elph.hol_ph_sym)[0]
     if idx.size == 0:
         return jnp.broadcast_to(base, (Ltau, n_sites))
@@ -35,7 +35,7 @@ def build_lambda(elph: ElectronPhononParameters, x: jnp.ndarray, n_sites: int) -
         elph.hol_alpha[idx_j][:, None] * xp + elph.hol_alpha3[idx_j][:, None] * xp**3
     )
     factors = jnp.exp(expo)  # (n_phsym, Ltau)
-    prod = jnp.ones((n_sites, Ltau)).at[elph.hol_to_site[idx]].multiply(factors)
+    prod = jnp.ones((n_sites, Ltau), dtype=x.dtype).at[elph.hol_to_site[idx]].multiply(factors)
     return base * prod.T
 
 

@@ -92,15 +92,35 @@ def fermionic_action_and_force(
     tol: float = 1e-8,
     maxiter: int = 1000,
     mixed: bool = False,
+    solve_dtype: str = "float64",
 ) -> ForceResult:
     """dS_f/dx = -2 Re([A psi]^T [dM/dx][Lambda psi]) - 2 Re([M^T A psi]^T [dLambda/dx][psi]),
-    A = M Lambda (calculate_derivative_fermionic_action!, PFFCalculator.jl:119-158)."""
+    A = M Lambda (calculate_derivative_fermionic_action!, PFFCalculator.jl:119-158).
+
+    solve_dtype='float32' runs this whole evaluation in f32: the force tolerance
+    (sqrt(tol) ~ 1e-5, EFAPFFHMCUpdater.jl:116) is far above f32 resolution, and
+    Metropolis exactness depends only on the trajectory-endpoint ACTION solves,
+    which stay f64 — an inexact force merely perturbs the proposal, never the
+    stationary distribution. CG stagnation surfaces as converged=False =>
+    rejection, so the failure path is also exact."""
+    if solve_dtype != "float64":
+        dt = jnp.dtype(solve_dtype)
+
+        def lower(a):
+            return a.astype(dt) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a
+
+        import jax
+
+        elph = jax.tree_util.tree_map(lower, elph)
+        fdm = fdm.astype(dt)
+        Phi = Phi.astype(dt)
+        x = x.astype(dt)
     res = fermionic_action(Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
     Lam = build_lambda(elph, x, fdm.n_sites)
     lam_psi = mul_lambda(Lam, res.psi)
     A_psi = fdm.mul_M(lam_psi)
-    force = jnp.zeros((elph.n_phonon, elph.Ltau))
+    force = jnp.zeros((elph.n_phonon, elph.Ltau), dtype=Phi.dtype)
     force = add_M_derivative_force(force, -2.0, A_psi, lam_psi, fdm, elph, x, plan)
     Mt_A_psi = fdm.mul_Mt(A_psi)
     force = add_lambda_derivative_force(force, -2.0, Mt_A_psi, res.psi, Lam, elph, x)
-    return ForceResult(Sf=res.Sf, force=force, stats=res.stats)
+    return ForceResult(Sf=res.Sf, force=force.astype(jnp.float64), stats=res.stats)

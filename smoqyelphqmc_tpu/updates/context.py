@@ -44,6 +44,7 @@ class QMCContext:
     tol_force: float = static_field()
     maxiter: int = static_field()
     mixed_precision: bool = static_field(default=False)
+    force_dtype: str = static_field(default="float64")
 
     @property
     def Ltau(self) -> int:
@@ -78,6 +79,7 @@ def initialize_qmc(
     use_preconditioner: bool = True,
     preconditioner: Optional[str] = None,
     mixed_precision: bool = False,
+    force_dtype: str = "float64",
 ) -> tuple[QMCContext, QMCState]:
     """Build the context and initial state (the reference's setup cascade,
     SURVEY.md section 3.1, collapsed into one call).
@@ -98,6 +100,7 @@ def initialize_qmc(
         tol_force=float(np.sqrt(tol)) if tol_force is None else tol_force,
         maxiter=maxiter,
         mixed_precision=mixed_precision,
+        force_dtype=force_dtype,
     )
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)

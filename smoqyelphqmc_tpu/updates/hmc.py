@@ -91,7 +91,7 @@ def hmc_update(
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
-            mixed=ctx.mixed_precision,
+            mixed=ctx.mixed_precision, solve_dtype=ctx.force_dtype,
         )
         force = res.force
         force = add_anharmonic_force(force, elph, x)
