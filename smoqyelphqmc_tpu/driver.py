@@ -57,8 +57,9 @@ class SimulationConfig:
     # noise; measured 16x faster than f64 on TPU (BENCH.md)
     measurement_dtype: str = "float32"
     # leapfrog force-solve dtype: forces only shape the proposal (tolerance
-    # sqrt(tol) ~ 1e-5); Metropolis exactness rests on the f64 endpoint actions
-    force_dtype: str = "float64"
+    # sqrt(tol) ~ 1e-5); Metropolis exactness rests on the f64 endpoint actions.
+    # f32 measured ~30% faster sweeps with identical acceptance (BENCH.md)
+    force_dtype: str = "float32"
     n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
 
 
