@@ -115,27 +115,25 @@ def lanczos_bounds(apply_A, n_sites: int, key, n_steps: int = 20) -> Tuple[jnp.n
 # ----------------------------------------------------------------------
 
 
-def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float):
-    """Sort frequencies by a static order cap and group into power-of-two tiers."""
+def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_max: int = 64):
+    """Static per-frequency order caps + ONE flat recurrence segment.
+
+    An earlier design grouped frequencies into power-of-two tiers with one
+    recurrence per tier; TPU profiling showed the many small sequential steps are
+    latency-bound (BENCH.md), so the plan now runs a single Chebyshev recurrence
+    over the whole (Ltau, N) frequency block, truncated at cap_max terms
+    (coefficients are zero beyond each frequency's own order, so higher
+    frequencies simply stop contributing). cap_max trades preconditioner quality
+    at the few lowest Matsubara frequencies for a hard bound on sequential work."""
     w = np.arange(Ltau)
     phi = 2.0 * np.pi * (w + 0.5) / Ltau
     phi_eff = np.minimum(phi, 2.0 * np.pi - phi)
     caps = np.maximum(1, np.floor(cap_delta_eps * (a1_eff / phi_eff + a2)).astype(np.int64))
-    perm = np.argsort(-caps, kind="stable")
-    inv_perm = np.argsort(perm, kind="stable")
-    sorted_caps = caps[perm]
-    buckets = []
-    start = 0
-    while start < Ltau:
-        tier = 1 << int(np.ceil(np.log2(max(int(sorted_caps[start]), 1)))) if sorted_caps[start] > 1 else 1
-        stop = start
-        while stop < Ltau and sorted_caps[stop] > tier // 2 and sorted_caps[stop] <= tier:
-            stop += 1
-        # ensure progress even if the tier test admits nothing (can't happen, but guard)
-        stop = max(stop, start + 1)
-        buckets.append((start, stop, int(tier)))
-        start = stop
-    return phi, perm.astype(np.int32), inv_perm.astype(np.int32), caps, tuple(buckets)
+    caps = np.minimum(caps, cap_max)
+    perm = np.arange(Ltau, dtype=np.int32)
+    C = int(max(caps.max(), 1))
+    buckets = ((0, Ltau, C),)
+    return phi, perm, perm.copy(), caps, buckets
 
 
 def _cheb_nodes_and_cosmat(C: int):
@@ -193,13 +191,14 @@ class KPMPreconditioner:
         a1: float = 1.0,
         a2: float = 1.0,
         cap_delta_eps: float = 1.0,
+        cap_max: int = 64,
     ) -> "KPMPreconditioner":
         """Construct and immediately update (mirrors KPMPreconditioner ctor,
         /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
         symmetric propagator as in :263)."""
         Ltau, N = fdm.Ltau, fdm.n_sites
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
-        phi, perm, inv_perm, caps, buckets = _static_plan(Ltau, a1_eff, a2, cap_delta_eps)
+        phi, perm, inv_perm, caps, buckets = _static_plan(Ltau, a1_eff, a2, cap_delta_eps, cap_max)
         coefs_re = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
         coefs_im = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
         pre = KPMPreconditioner(

@@ -57,3 +57,41 @@ def test_mixed_precision_hmc():
         assert bool(stats.converged)
         acc += int(stats.accepted)
     assert acc >= 2
+
+
+def test_f32_force_solve_matches_f64(rng):
+    """solve_dtype='float32' forces agree with f64 to f32 resolution."""
+    from smoqyelphqmc_tpu.ops.pff import (
+        fermionic_action_and_force,
+        sample_pseudofermion_fields,
+    )
+    from smoqyelphqmc_tpu.updates.context import initialize_qmc, make_fdm
+
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=1.0, dtau=0.1, alpha=0.6)
+    ctx, state = initialize_qmc(tbp, elph, seed=0, tol=1e-10)
+    fdm = make_fdm(ctx, state.x)
+    Phi, _ = sample_pseudofermion_fields(jax.random.PRNGKey(1), elph, fdm, state.x)
+    kw = dict(precond=state.precond, tol=1e-5, maxiter=3000)
+    r64 = fermionic_action_and_force(Phi, elph, fdm, state.x, ctx.plan, **kw)
+    r32 = fermionic_action_and_force(
+        Phi, elph, fdm, state.x, ctx.plan, solve_dtype="float32", **kw
+    )
+    assert bool(r32.stats.converged)
+    f64 = np.asarray(r64.force)
+    f32 = np.asarray(r32.force)
+    assert np.abs(f32 - f64).max() / np.abs(f64).max() < 1e-4
+    assert f32.dtype == np.float64  # returned at full precision for the p update
+
+
+def test_f32_force_hmc_acceptance():
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=1.0, dtau=0.1, alpha=0.5)
+    from smoqyelphqmc_tpu.updates import HMCParams, hmc_update, initialize_qmc
+
+    ctx, state = initialize_qmc(tbp, elph, seed=4, tol=1e-9, force_dtype="float32")
+    step = jax.jit(lambda s: hmc_update(ctx, s, HMCParams(Nt=6)))
+    acc = 0
+    for _ in range(6):
+        state, stats = step(state)
+        assert bool(stats.converged)
+        acc += int(stats.accepted)
+    assert acc >= 3
