@@ -56,10 +56,17 @@ def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPre
 
     In float32 mode the eigendecomposition itself runs in f32 (~20x faster on
     TPU, measured 15 ms vs 300 ms at N = 288); eigenvector rounding only
-    perturbs the preconditioner, never the solution."""
-    assert fdm.symmetric, "spectral preconditioner requires the symmetric factorization"
+    perturbs the preconditioner, never the solution.
+
+    For the ASYMMETRIC factorization (Bbar = D CB, not symmetric) the
+    preconditioner uses the half-angle symmetrization CB(dtau/2) D CB(dtau/2)^T
+    built from the same averaged factors — it differs from the true Bbar by
+    O(dtau^2) commutators, which only costs a few CG iterations."""
     dt = jnp.dtype(dtype)
-    bbar = averaged_propagator(fdm)
+    if fdm.symmetric:
+        bbar = averaged_propagator(fdm)
+    else:
+        bbar = _symmetrized_propagator(fdm)
     eye = jnp.eye(fdm.n_sites)
     B = bbar.apply(eye).T  # dense Bbar
     B = 0.5 * (B + B.T)  # symmetrize against roundoff
@@ -80,6 +87,20 @@ def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPre
         n_sites=fdm.n_sites,
         dtype=dtype,
     )
+
+
+def _symmetrized_propagator(fdm: FermionDetMatrix):
+    """Half-angle symmetrized averaged propagator for asymmetric factorizations:
+    per hop, cosh/sinh at dtau become cosh/sinh at dtau/2 via half-angle
+    identities, giving a symmetric CB(dtau/2) D CB(dtau/2)^T surrogate."""
+    from .checkerboard import build_checkerboard_op
+    from .kpm import AveragedPropagator
+
+    expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
+    ch2 = jnp.sqrt((1.0 + cosh_bar) / 2.0)
+    sh2 = sinh_bar / (2.0 * jnp.where(ch2 > 0, ch2, 1.0))
+    cb = build_checkerboard_op(fdm.structure, ch2, sh2)
+    return AveragedPropagator(cb=cb, expV=expV_bar, symmetric=True)
 
 
 def spectral_update(pre: SpectralPreconditioner, fdm: FermionDetMatrix, key=None) -> SpectralPreconditioner:

@@ -84,8 +84,9 @@ def initialize_qmc(
     """Build the context and initial state (the reference's setup cascade,
     SURVEY.md section 3.1, collapsed into one call).
 
-    preconditioner: 'spectral' (exact, default for the symmetric factorization),
-    'kpm' (bucketed Chebyshev, any factorization), or None."""
+    preconditioner: 'spectral' (default — exact for the symmetric factorization,
+    half-angle symmetrized surrogate for the asymmetric one), 'kpm' (Chebyshev),
+    or None."""
     structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
     plan = build_force_plan(elph, structure)
     efa = FourierAccelerator.build(elph, eta=eta)
@@ -107,7 +108,7 @@ def initialize_qmc(
     x0 = jnp.asarray(elph.x)
     precond = None
     if use_preconditioner:
-        kind = preconditioner or ("spectral" if symmetric else "kpm")
+        kind = preconditioner or "spectral"
         fdm = make_fdm(ctx, x0)
         precond = build_preconditioner(kind, fdm, sub)
     state = QMCState(x=x0, key=key, precond=precond)

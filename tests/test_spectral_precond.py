@@ -70,3 +70,21 @@ def test_spectral_in_hmc_update():
     for _ in range(3):
         state, stats = step(state)
         assert bool(stats.converged)
+
+
+def test_asym_spectral_preconditioner():
+    """Half-angle symmetrized spectral preconditioner accelerates the ASYM solve."""
+    from smoqyelphqmc_tpu.ops.cg import cg_solve
+
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=2.0, dtau=0.1, alpha=0.4)
+    fpi = build_path_integral(tbp, elph)
+    st = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, st, symmetric=False)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)))
+    x0, s0 = cg_solve(fdm.mul_MtM, b, tol=1e-10, maxiter=4000)
+    pre = build_spectral(fdm)
+    x1, s1 = cg_solve(fdm.mul_MtM, b, precond=pre.as_operator(), tol=1e-10, maxiter=4000)
+    assert bool(s1.converged)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-7)
+    assert int(s1.iters) < int(s0.iters) // 3
