@@ -28,7 +28,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..lattice import Bond, ModelGeometry
+from ..lattice import ModelGeometry
 from ..models.fermion_path_integral import build_path_integral
 from ..updates.context import QMCContext
 from .correlations import (

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import numpy as np
-
 from ..lattice import Bond
 from .greens_estimator import (
     GreensEstimator,

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cg import cg_solve
 from ..ops.fermion_det import FermionDetMatrix
 from ..ops.fourier import AxisDFT, FactoredDFT
 from ..utils.pytree import register_pytree_dataclass, static_field

@@ -12,8 +12,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
-
 from ..models.electron_phonon import ElectronPhononParameters
 from ..models.fermion_path_integral import FermionPathIntegral
 from ..models.tight_binding import TightBindingParameters

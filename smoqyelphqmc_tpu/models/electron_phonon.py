@@ -20,7 +20,7 @@ index = type * n_cells + cell (cell flattened C-order), mirroring the reference'
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

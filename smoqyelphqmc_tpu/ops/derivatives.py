@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.electron_phonon import ElectronPhononParameters
-from ..utils.pytree import register_pytree_dataclass, static_field
 from .checkerboard import CheckerboardStructure
 from .fermion_det import FermionDetMatrix, _boundary_sign_first
 

@@ -32,7 +32,7 @@ TPU mapping (the load-bearing design choices):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

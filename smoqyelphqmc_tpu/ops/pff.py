@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.electron_phonon import ElectronPhononParameters
-from .cg import CGStats, cg_solve
+from .cg import CGStats
 from .derivatives import ForcePlan, add_M_derivative_force
 from .fermion_det import FermionDetMatrix
 from .lambda_shift import (

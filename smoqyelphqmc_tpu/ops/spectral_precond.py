@@ -20,8 +20,6 @@ The eigh can run at lower precision than the CG without affecting correctness
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 
