@@ -162,7 +162,10 @@ def _bond_t_field(est: GreensEstimator, ctx: QMCContext, fpi, bond_id: int):
     pos = ctx.tbp.bond_ids.index(bond_id) if bond_id in ctx.tbp.bond_ids else bond_id
     start, stop = ctx.tbp.bond_slices[pos]
     t = fpi.t[:, start:stop].reshape((est.Ltau,) + est.L)
-    return (t, None)
+    t_im = None
+    if fpi.t_im is not None:
+        t_im = fpi.t_im[:, start:stop].reshape((est.Ltau,) + est.L)
+    return (t, t_im)
 
 
 def _measure_one_correlation(

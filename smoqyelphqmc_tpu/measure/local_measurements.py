@@ -45,9 +45,12 @@ def measure_onsite_energy(
     )
 
 
-def _hopping_energy(est: GreensEstimator, tbp: TightBindingParameters, t_lh, hopping_id: int) -> Pair:
+def _hopping_energy(
+    est: GreensEstimator, tbp: TightBindingParameters, t_lh, hopping_id: int, t_lh_im=None
+) -> Pair:
     """h = < t GR(i) conj(R)(f) + conj(t) GR(f) conj(R)(i) > normalized by
-    (Ltau * Nsites * Nrv) (tight_binding_measurements.jl:99-209). t_lh: (Ltau, n_hops) real."""
+    (Ltau * Nsites * Nrv) (tight_binding_measurements.jl:99-209). t_lh(_im):
+    (Ltau, n_hops) real/imag parts of the hopping amplitudes."""
     start, stop = tbp.bond_slices[hopping_id]
     nt = tbp.neighbor_table[:, start:stop]
     i = jnp.asarray(nt[0])
@@ -63,6 +66,11 @@ def _hopping_energy(est: GreensEstimator, tbp: TightBindingParameters, t_lh, hop
     norm = est.Ltau * est.n_sites * est.Nrv
     h_re = jnp.sum(t[None] * (fw_re + rv_re)) / norm
     h_im = jnp.sum(t[None] * (fw_im + rv_im)) / norm
+    if t_lh_im is not None:
+        ti = t_lh_im[:, start:stop]
+        # t fw: re -= t_im fw_im, im += t_im fw_re; conj(t) rv: re += t_im rv_im, im -= t_im rv_re
+        h_re = h_re + jnp.sum(ti[None] * (rv_im - fw_im)) / norm
+        h_im = h_im + jnp.sum(ti[None] * (fw_re - rv_re)) / norm
     return h_re, h_im
 
 
@@ -70,13 +78,14 @@ def measure_bare_hopping_energy(
     est: GreensEstimator, tbp: TightBindingParameters, hopping_id: int
 ) -> Pair:
     t = jnp.broadcast_to(tbp.t0[None, :], (est.Ltau, tbp.n_hops))
-    return _hopping_energy(est, tbp, t, hopping_id)
+    ti = None if tbp.t0_im is None else jnp.broadcast_to(tbp.t0_im[None, :], (est.Ltau, tbp.n_hops))
+    return _hopping_energy(est, tbp, t, hopping_id, ti)
 
 
 def measure_hopping_energy(
     est: GreensEstimator, tbp: TightBindingParameters, fpi: FermionPathIntegral, hopping_id: int
 ) -> Pair:
-    return _hopping_energy(est, tbp, fpi.t, hopping_id)
+    return _hopping_energy(est, tbp, fpi.t, hopping_id, fpi.t_im)
 
 
 def measure_hopping_amplitude(
@@ -84,7 +93,8 @@ def measure_hopping_amplitude(
 ) -> Pair:
     """Mean dressed hopping amplitude of one hopping type."""
     start, stop = tbp.bond_slices[hopping_id]
-    return jnp.mean(fpi.t[:, start:stop]), jnp.asarray(0.0)
+    im = jnp.asarray(0.0) if fpi.t_im is None else jnp.mean(fpi.t_im[:, start:stop])
+    return jnp.mean(fpi.t[:, start:stop]), im
 
 
 def measure_hopping_inversion(

@@ -313,7 +313,12 @@ def initialize_electron_phonon_parameters(
         for sc in sshs
         for v in (sc.alpha_mean, sc.alpha2_mean, sc.alpha3_mean, sc.alpha4_mean)
     )
-    ssh_dtype = np.complex128 if any_complex_ssh else np.float64
+    if any_complex_ssh:
+        raise NotImplementedError(
+            "complex SSH coupling constants are not supported yet (complex static "
+            "hoppings t ARE supported; SSH dressing must stay real)."
+        )
+    ssh_dtype = np.float64
     for sc in sshs:
         bond_type = tbm.t_bonds.index(sc.bond)
         start, stop = tight_binding_parameters.bond_slices[bond_type]

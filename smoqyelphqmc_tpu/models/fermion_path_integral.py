@@ -24,11 +24,14 @@ class FermionPathIntegral:
     """Time-dependent single-particle matrices in compact form.
 
     V: (Ltau, n_sites) on-site energies (includes eps - mu and Holstein terms).
-    t: (Ltau, n_hops) hopping amplitudes (includes SSH dressing).
+    t: (Ltau, n_hops) hopping amplitudes (includes SSH dressing); complex
+    hoppings carry their imaginary part in t_im (None for real models — SSH
+    couplings modulate only the real part, so t_im is static in x).
     """
 
     V: jnp.ndarray
     t: jnp.ndarray
+    t_im: "jnp.ndarray | None"
     dtau: float = static_field()
     Ltau: int = static_field()
     n_sites: int = static_field()
@@ -87,5 +90,8 @@ def build_path_integral(
         shift = ssh_hopping_shift(elph, x)  # (n_ssh, Ltau)
         t_sc = jnp.zeros((tbp.n_hops, Ltau), dtype=shift.dtype).at[elph.ssh_to_hop].add(shift)
         t = t - t_sc.T
+    t_im = None
+    if tbp.t0_im is not None:
+        t_im = jnp.broadcast_to(tbp.t0_im[None, :], (Ltau, tbp.n_hops))
 
-    return FermionPathIntegral(V=V, t=t, dtau=elph.dtau, Ltau=Ltau, n_sites=n_sites)
+    return FermionPathIntegral(V=V, t=t, t_im=t_im, dtau=elph.dtau, Ltau=Ltau, n_sites=n_sites)

@@ -76,6 +76,7 @@ class TightBindingParameters:
     """
 
     t0: jnp.ndarray  # (n_hops,) static hopping amplitudes (before e-ph dressing)
+    t0_im: "jnp.ndarray | None"  # imaginary parts for complex hoppings (None = real)
     eps: jnp.ndarray  # (n_sites,) on-site energies
     mu: jnp.ndarray  # scalar chemical potential (dynamic: mu tuning updates it)
     neighbor_table: np.ndarray = static_field()  # (2, n_hops) int32
@@ -110,14 +111,7 @@ def initialize_tight_binding_parameters(
     any_complex = any(
         np.iscomplexobj(np.asarray(t)) and np.imag(t) != 0 for t in tight_binding_model.t_mean
     )
-    if any_complex:
-        raise NotImplementedError(
-            "complex hopping amplitudes are not supported yet: the TPU compute path "
-            "carries complex fields as real channel pairs over a REAL fermion matrix "
-            "(ops/checkerboard.py). Complex t makes M genuinely complex; planned as a "
-            "channel-mixing checkerboard variant."
-        )
-    t_dtype = np.float64
+    t_dtype = np.complex128 if any_complex else np.float64
     for b, bond in enumerate(tight_binding_model.t_bonds):
         tables.append(geo.build_neighbor_table(bond))
         tm = np.full(n_cells, tight_binding_model.t_mean[b], dtype=t_dtype)
@@ -131,6 +125,10 @@ def initialize_tight_binding_parameters(
         np.concatenate(tables, axis=1) if tables else np.zeros((2, 0), dtype=np.int32)
     )
     t0 = np.concatenate(t_vals) if t_vals else np.zeros(0, dtype=t_dtype)
+    t0_im = None
+    if any_complex:
+        t0_im = np.imag(t0)
+        t0 = np.real(t0)
 
     eps = np.empty(geo.n_sites, dtype=np.float64)
     eps_mean = np.asarray(tight_binding_model.eps_mean)
@@ -142,6 +140,7 @@ def initialize_tight_binding_parameters(
 
     return TightBindingParameters(
         t0=jnp.asarray(t0),
+        t0_im=None if t0_im is None else jnp.asarray(t0_im),
         eps=jnp.asarray(eps),
         mu=jnp.asarray(tight_binding_model.mu, dtype=jnp.float64),
         neighbor_table=neighbor_table,

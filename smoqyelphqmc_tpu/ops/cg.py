@@ -27,9 +27,11 @@ class CGStats(NamedTuple):
     converged: jnp.ndarray  # scalar bool: all systems converged to finite solutions
 
 
-def _sys_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Per-system inner product: reduce over the trailing (Ltau, N) axes."""
-    return jnp.sum(a * b, axis=(-2, -1))
+def _sys_dot(a: jnp.ndarray, b: jnp.ndarray, sys_ndim: int = 2) -> jnp.ndarray:
+    """Per-system inner product: reduce over the trailing sys_ndim axes
+    ((Ltau, N) for a real operator; (channel, Ltau, N) when the operator couples
+    the complex channel pair)."""
+    return jnp.sum(a * b, axis=tuple(range(-sys_ndim, 0)))
 
 
 def cg_solve(
@@ -39,16 +41,20 @@ def cg_solve(
     tol: float = 1e-10,
     maxiter: int = 1000,
     x0: Optional[jnp.ndarray] = None,
+    sys_ndim: int = 2,
 ):
     """Solve A x = b for symmetric positive definite A with left preconditioner.
 
     Args:
       apply_A: linear map on (..., Ltau, N) arrays (broadcasts leading axes).
-      b: right-hand sides; every leading axis indexes an independent system.
+      b: right-hand sides; every leading axis (up to the trailing sys_ndim axes)
+        indexes an independent system.
       precond: z = P^{-1} r map (same signature); None = identity.
       tol: relative residual tolerance |r| / |b|.
       maxiter: iteration cap.
       x0: optional initial guess (default zero).
+      sys_ndim: trailing axes forming ONE system (3 when the operator couples the
+        complex channel pair).
 
     Returns:
       (x, CGStats)
@@ -56,7 +62,10 @@ def cg_solve(
     if precond is None:
         precond = lambda r: r
 
-    normb = jnp.sqrt(_sys_dot(b, b))
+    def bshape(v):
+        return v.reshape(v.shape + (1,) * sys_ndim)
+
+    normb = jnp.sqrt(_sys_dot(b, b, sys_ndim))
     safe_normb = jnp.where(normb > 0, normb, 1.0)
 
     if x0 is None:
@@ -68,8 +77,8 @@ def cg_solve(
 
     z = precond(r)
     p = z
-    rdotz = _sys_dot(r, z)
-    eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+    rdotz = _sys_dot(r, z, sys_ndim)
+    eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
     active = eps >= tol
 
     def cond(carry):
@@ -79,18 +88,18 @@ def cg_solve(
     def body(carry):
         x, r, p, rdotz, eps, active, it = carry
         Ap = apply_A(p)
-        pAp = _sys_dot(p, Ap)
+        pAp = _sys_dot(p, Ap, sys_ndim)
         alpha = jnp.where(active, rdotz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        a = alpha[..., None, None]
+        a = bshape(alpha)
         x = x + a * p
         r = r - a * Ap
-        eps_new = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+        eps_new = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
         eps = jnp.where(active, eps_new, eps)
         active_new = jnp.logical_and(active, eps >= tol)
         z = precond(r)
-        new_rdotz = _sys_dot(r, z)
+        new_rdotz = _sys_dot(r, z, sys_ndim)
         beta = jnp.where(active_new, new_rdotz / jnp.where(rdotz != 0, rdotz, 1.0), 0.0)
-        p = jnp.where(active_new[..., None, None], z + beta[..., None, None] * p, p)
+        p = jnp.where(bshape(active_new), z + bshape(beta) * p, p)
         rdotz = jnp.where(active_new, new_rdotz, rdotz)
         return (x, r, p, rdotz, eps, active_new, it + 1)
 
@@ -112,6 +121,7 @@ def cg_solve_mixed(
     maxiter: int = 1000,
     inner_tol: float = 1e-5,
     max_outer: int = 12,
+    sys_ndim: int = 2,
 ):
     """Mixed-precision defect-correction (reliable-update) CG.
 
@@ -130,7 +140,7 @@ def cg_solve_mixed(
     if precond is None:
         precond = lambda r: r
 
-    normb = jnp.sqrt(_sys_dot(b, b))
+    normb = jnp.sqrt(_sys_dot(b, b, sys_ndim))
     safe_normb = jnp.where(normb > 0, normb, 1.0)
 
     def outer_cond(carry):
@@ -140,7 +150,7 @@ def cg_solve_mixed(
     def outer_body(carry):
         x, eps, it_total, outer, done = carry
         r = b - apply_A(x)
-        eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+        eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
         done = jnp.all(eps < tol)
 
         def correct(args):
@@ -151,6 +161,7 @@ def cg_solve_mixed(
                 precond=precond,
                 tol=inner_tol,
                 maxiter=maxiter,
+                sys_ndim=sys_ndim,
             )
             x = x + e32.astype(x.dtype)
             return x, it_total + stats.iters
@@ -159,12 +170,12 @@ def cg_solve_mixed(
         return (x, eps, it_total, outer + 1, done)
 
     x = jnp.zeros_like(b)
-    eps = jnp.ones(b.shape[:-2])
+    eps = jnp.ones(b.shape[:-sys_ndim])
     carry = (x, eps, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
     x, eps, it_total, outer, done = lax.while_loop(outer_cond, outer_body, carry)
     # final residual check
     r = b - apply_A(x)
-    eps = jnp.sqrt(_sys_dot(r, r)) / safe_normb
+    eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
     finite = jnp.all(jnp.isfinite(x))
     converged = jnp.logical_and(finite, jnp.all(eps < tol))
     return x, CGStats(iters=it_total, eps=eps, converged=converged)

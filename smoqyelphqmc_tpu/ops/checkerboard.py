@@ -27,7 +27,7 @@ determinant, so:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -112,11 +112,23 @@ class CheckerboardOp:
 
     C, S have shape (n_colors, *time_dims, n_sites): time_dims = (Ltau,) for the
     full space-time operator or () for a single-slice (time-averaged) propagator.
-    Real hopping amplitudes only (see module docstring).
-    """
+
+    Complex hoppings: S_im is None for real amplitudes (the fast path — every
+    channel/batch axis broadcasts untouched). With complex t the 2x2 hop block
+    [[c, s], [conj(s), c]] is HERMITIAN, so the operator mixes the re/im channel
+    pair, which must then sit at axis -3 of u, i.e. u is (..., 2, time, n_sites):
+
+      u'_re = C u_re + S_re u_re[p] - (+-)S_im u_im[p]
+      u'_im = C u_im + S_re u_im[p] + (+-)S_im u_re[p]
+
+    with the site-dependent sign of S_im already encoding conj(s) on the second
+    pair member. Transpose (reversed colors) then realizes the ADJOINT, exactly
+    the reference's `transposed=true` semantics for Hermitian blocks
+    (checkerboard_matrix_multiply.jl:44-47)."""
 
     C: jnp.ndarray
     S: jnp.ndarray
+    S_im: Optional[jnp.ndarray]  # None for real hoppings
     partner: np.ndarray = static_field()  # (n_colors, n_sites)
     n_colors: int = static_field()
 
@@ -124,11 +136,14 @@ class CheckerboardOp:
         """Apply the full checkerboard product (or its transpose / inverse) to u.
 
         u has shape (..., n_sites) [single-slice factors] or (..., Ltau, n_sites);
-        coefficients broadcast against leading batch dimensions.
+        coefficients broadcast against leading batch dimensions. For complex
+        hoppings u must carry the re/im channel pair at axis -3; transpose=True
+        applies the adjoint.
         """
         order = range(self.n_colors)
-        # transpose and inverse each reverse the factor order (color blocks are
-        # symmetric); applying both cancels the reversal.
+        # transpose and inverse each reverse the factor order: every hop block
+        # (and its inverse) is Hermitian, so reversing the color order realizes
+        # the adjoint with no per-block change; applying both cancels it.
         if transpose != inverse:
             order = reversed(order)
         for c in order:
@@ -139,19 +154,29 @@ class CheckerboardOp:
         """u <- C_c u + (-)S_c u[partner_c] for a single color."""
         Cc = self.C[c]
         Sc = -self.S[c] if inverse else self.S[c]
-        return Cc * u + Sc * jnp.take(u, jnp.asarray(self.partner[c]), axis=-1)
+        up = jnp.take(u, jnp.asarray(self.partner[c]), axis=-1)
+        if self.S_im is None:
+            return Cc * u + Sc * up
+        Sc_im = -self.S_im[c] if inverse else self.S_im[c]
+        up_re = up[..., 0, :, :]
+        up_im = up[..., 1, :, :]
+        out_re = Cc * u[..., 0, :, :] + Sc * up_re - Sc_im * up_im
+        out_im = Cc * u[..., 1, :, :] + Sc * up_im + Sc_im * up_re
+        return jnp.stack([out_re, out_im], axis=-3)
 
 
 def build_checkerboard_op(
     structure: CheckerboardStructure,
     cosh_hop: jnp.ndarray,
     sinh_hop: jnp.ndarray,
+    sinh_hop_im: Optional[jnp.ndarray] = None,
 ) -> CheckerboardOp:
     """Expand per-hop (.., n_hops) cosh/sinh factors into per-color site planes.
 
     cosh_hop/sinh_hop index hops in ORIGINAL order along their last axis; leading
-    axes (e.g. Ltau) are carried through. sinh encodes s = sign(t) sinh(dtau |t|),
-    shared by both pair members (real symmetric 2x2 block).
+    axes (e.g. Ltau) are carried through. sinh encodes s = sign(conj t) sinh(dtau |t|);
+    for real t both pair members share it (real symmetric 2x2 block), for complex
+    t the second member takes conj(s), encoded as a sign flip of the S_im plane.
     """
     n_colors = structure.n_colors
     n_sites = structure.n_sites
@@ -159,7 +184,7 @@ def build_checkerboard_op(
     if n_colors == 0:
         C = jnp.ones((0,) + lead + (n_sites,))
         S = jnp.zeros((0,) + lead + (n_sites,))
-        return CheckerboardOp(C=C, S=S, partner=structure.partner, n_colors=0)
+        return CheckerboardOp(C=C, S=S, S_im=None, partner=structure.partner, n_colors=0)
 
     site_hop = jnp.asarray(structure.site_hop)  # (n_colors, n_sites)
     covered = structure.site_side != 0  # static bool (n_colors, n_sites)
@@ -170,7 +195,13 @@ def build_checkerboard_op(
     covered_b = jnp.asarray(covered).reshape(bshape)
     C = jnp.where(covered_b, cosh_site, 1.0)
     S = jnp.where(covered_b, sinh_site, 0.0)
-    return CheckerboardOp(C=C, S=S, partner=structure.partner, n_colors=n_colors)
+    S_im = None
+    if sinh_hop_im is not None:
+        sinh_im_site = jnp.moveaxis(sinh_hop_im[..., site_hop], -2, 0)
+        # +s_im on the initial pair member, -s_im (conjugate) on the final one
+        side_b = jnp.asarray(structure.site_side.astype(np.float64)).reshape(bshape)
+        S_im = jnp.where(covered_b, sinh_im_site * side_b, 0.0)
+    return CheckerboardOp(C=C, S=S, S_im=S_im, partner=structure.partner, n_colors=n_colors)
 
 
 def hop_factors(t: jnp.ndarray, dtau_eff: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,6 +211,21 @@ def hop_factors(t: jnp.ndarray, dtau_eff: float) -> Tuple[jnp.ndarray, jnp.ndarr
     (matching /root/reference/src/FermionDetMatrix.jl:227-232 for real t).
     """
     return jnp.cosh(dtau_eff * t), jnp.sinh(dtau_eff * t)
+
+
+def hop_factors_complex(
+    t_re: jnp.ndarray, t_im: jnp.ndarray, dtau_eff: float
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(cosh, sinh_re, sinh_im) for COMPLEX hoppings t = t_re + i t_im:
+    s = sign(conj t) sinh(dtau_eff |t|) (FermionDetMatrix.jl:227-232)."""
+    abs_t = jnp.sqrt(t_re**2 + t_im**2)
+    safe = jnp.where(abs_t > 0, abs_t, 1.0)
+    sh = jnp.sinh(dtau_eff * abs_t)
+    return (
+        jnp.cosh(dtau_eff * abs_t),
+        jnp.where(abs_t > 0, t_re / safe, 0.0) * sh,
+        jnp.where(abs_t > 0, -t_im / safe, 0.0) * sh,
+    )
 
 
 def dense_checkerboard_matrix(op: CheckerboardOp) -> np.ndarray:

@@ -174,8 +174,14 @@ def add_M_derivative_force(
                 up = cb.apply_color(up, color)
                 vp = cb.apply_color(vp, color, inverse=True)
         else:
+            # pair <u| CB dD CB^dag |w>: u-side takes CB^dag (reversed colors),
+            # v-side peels the LEFT factor CB, i.e. the plain inverse. (The
+            # reference peels with the transposed inverse here,
+            # fermion_det_matrix_dervative.jl:70-74, which differs at
+            # O([K_c, K_c']) for non-commuting colors; verified exact by
+            # finite differences and a direct derivative bracket.)
             up = cb.apply(up, transpose=True)
-            vp = cb.apply(vp, transpose=True, inverse=True)
+            vp = cb.apply(vp, inverse=True)
         # term 2: d(exp(-dtau V)) in the middle
         if elph.n_holstein > 0:
             force = _add_holstein_V_force(force, -nu, up, vp, elph, x, plan)

@@ -31,6 +31,7 @@ from .checkerboard import (
     build_checkerboard_op,
     build_checkerboard_structure,
     hop_factors,
+    hop_factors_complex,
 )
 
 
@@ -49,6 +50,7 @@ class FermionDetMatrix:
     cb: CheckerboardOp
     cosh_hop: jnp.ndarray
     sinh_hop: jnp.ndarray
+    sinh_hop_im: "jnp.ndarray | None"  # complex hoppings only
     symmetric: bool = static_field()
     structure: CheckerboardStructure = static_field()
     Ltau: int = static_field()
@@ -65,14 +67,19 @@ class FermionDetMatrix:
         (re-design of update! at /root/reference/src/FermionDetMatrix.jl:208-236)."""
         dtau = fpi.dtau
         dtau_eff = dtau / 2 if symmetric else dtau
-        cosh_hop, sinh_hop = hop_factors(fpi.t, dtau_eff)
-        cb = build_checkerboard_op(structure, cosh_hop, sinh_hop)
+        if fpi.t_im is None:
+            cosh_hop, sinh_hop = hop_factors(fpi.t, dtau_eff)
+            sinh_hop_im = None
+        else:
+            cosh_hop, sinh_hop, sinh_hop_im = hop_factors_complex(fpi.t, fpi.t_im, dtau_eff)
+        cb = build_checkerboard_op(structure, cosh_hop, sinh_hop, sinh_hop_im)
         exp_nV = jnp.exp(-dtau * fpi.V)
         return FermionDetMatrix(
             exp_nV=exp_nV,
             cb=cb,
             cosh_hop=cosh_hop,
             sinh_hop=sinh_hop,
+            sinh_hop_im=sinh_hop_im,
             symmetric=symmetric,
             structure=structure,
             Ltau=fpi.Ltau,
@@ -128,6 +135,11 @@ class FermionDetMatrix:
         return self.mul_M(self.mul_Mt(v))
 
     # ------------------------------------------------------------------
+    @property
+    def complex_hops(self) -> bool:
+        """True when M is complex (re/im channel axis must sit at axis -3)."""
+        return self.cb.S_im is not None
+
     def astype(self, dtype) -> "FermionDetMatrix":
         """Cast the propagator factors (for the f32 inner solves of
         mixed-precision CG — ops/cg.py:cg_solve_mixed)."""
@@ -137,11 +149,13 @@ class FermionDetMatrix:
             cb=CheckerboardOp(
                 C=self.cb.C.astype(dt),
                 S=self.cb.S.astype(dt),
+                S_im=None if self.cb.S_im is None else self.cb.S_im.astype(dt),
                 partner=self.cb.partner,
                 n_colors=self.cb.n_colors,
             ),
             cosh_hop=self.cosh_hop.astype(dt),
             sinh_hop=self.sinh_hop.astype(dt),
+            sinh_hop_im=None if self.sinh_hop_im is None else self.sinh_hop_im.astype(dt),
             symmetric=self.symmetric,
             structure=self.structure,
             Ltau=self.Ltau,
@@ -193,12 +207,16 @@ def solve_MtM(
     from .cg import cg_solve, cg_solve_mixed
 
     pre_op = precond.as_operator() if precond is not None else None
+    # complex M mixes the re/im channel pair at axis -3: the CG inner products
+    # must then reduce over (channel, Ltau, N) jointly
+    sys_ndim = 3 if fdm.complex_hops else 2
     if mixed:
         fdm32 = fdm.astype(jnp.float32)
         return cg_solve_mixed(
-            fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter
+            fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter,
+            sys_ndim=sys_ndim,
         )
-    return cg_solve(fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter)
+    return cg_solve(fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter, sys_ndim=sys_ndim)
 
 
 # ----------------------------------------------------------------------
@@ -210,30 +228,39 @@ def dense_B(fdm: FermionDetMatrix, l: int) -> np.ndarray:
     """Dense (N, N) propagator B_l (testing oracle)."""
     n = fdm.n_sites
     eye = jnp.eye(n)
+    has_im = fdm.cb.S_im is not None
     sub = FermionDetMatrix(
         exp_nV=fdm.exp_nV[l],
         cb=CheckerboardOp(
             C=fdm.cb.C[:, l] if fdm.cb.n_colors else fdm.cb.C,
             S=fdm.cb.S[:, l] if fdm.cb.n_colors else fdm.cb.S,
+            S_im=(fdm.cb.S_im[:, l] if fdm.cb.n_colors else fdm.cb.S_im) if has_im else None,
             partner=fdm.cb.partner,
             n_colors=fdm.cb.n_colors,
         ),
         cosh_hop=fdm.cosh_hop[l],
         sinh_hop=fdm.sinh_hop[l],
+        sinh_hop_im=fdm.sinh_hop_im[l] if has_im else None,
         symmetric=fdm.symmetric,
         structure=fdm.structure,
         Ltau=1,
         n_sites=n,
     )
-    cols = sub.apply_B(eye)  # row k = B e_k
-    return np.asarray(cols).T
+    if not has_im:
+        cols = sub.apply_B(eye)  # row k = B e_k
+        return np.asarray(cols).T
+    # complex: feed channel-paired basis vectors (..., 2, 1, N)
+    basis = jnp.stack([eye, jnp.zeros_like(eye)], axis=1)[:, :, None, :]  # (N, 2, 1, N)
+    out = sub.apply_B(basis)  # (N, 2, 1, N)
+    cols = np.asarray(out[:, 0, 0, :]) + 1j * np.asarray(out[:, 1, 0, :])
+    return cols.T
 
 
 def dense_M(fdm: FermionDetMatrix) -> np.ndarray:
     """Dense (Ltau N, Ltau N) fermion determinant matrix (testing oracle)."""
     Ltau, n = fdm.Ltau, fdm.n_sites
     dim = Ltau * n
-    M = np.eye(dim)
+    M = np.eye(dim, dtype=np.complex128 if fdm.complex_hops else np.float64)
     for l in range(Ltau):
         B = dense_B(fdm, l)
         row = l

@@ -78,6 +78,7 @@ class AveragedPropagator:
 
 
 def averaged_propagator(fdm: FermionDetMatrix) -> AveragedPropagator:
+    assert not fdm.complex_hops, "KPM/spectral preconditioning of complex hoppings: later round"
     expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
     cb = build_checkerboard_op(fdm.structure, cosh_bar, sinh_bar)
     return AveragedPropagator(cb=cb, expV=expV_bar, symmetric=fdm.symmetric)

@@ -60,6 +60,12 @@ def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPre
     preconditioner uses the half-angle symmetrization CB(dtau/2) D CB(dtau/2)^T
     built from the same averaged factors — it differs from the true Bbar by
     O(dtau^2) commutators, which only costs a few CG iterations."""
+    if fdm.complex_hops:
+        raise NotImplementedError(
+            "spectral preconditioner for complex hoppings lands in a later round "
+            "(needs the complex-Hermitian eigenbasis in paired-channel form); "
+            "run complex-hopping models unpreconditioned or with KPM disabled."
+        )
     dt = jnp.dtype(dtype)
     if fdm.symmetric:
         bbar = averaged_propagator(fdm)

@@ -57,7 +57,7 @@ def test_checkerboard_inverse_transpose_dense(model_fn, rng):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
     # dense oracle: product of 2x2 rotations applied hop by hop (slice 0)
     dense = dense_checkerboard_matrix(
-        CheckerboardOp(C=op.C[:, 0], S=op.S[:, 0], partner=op.partner, n_colors=op.n_colors)
+        CheckerboardOp(C=op.C[:, 0], S=op.S[:, 0], S_im=None, partner=op.partner, n_colors=op.n_colors)
     )
     ref = np.eye(tbp.n_sites)
     nt = structure.neighbor_table
