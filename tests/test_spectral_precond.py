@@ -38,6 +38,7 @@ def test_spectral_is_exact_inverse_of_averaged_system():
         ),
         cosh_hop=jnp.broadcast_to(cosh_bar[None], (Ltau, fdm.structure.n_hops)),
         sinh_hop=jnp.broadcast_to(sinh_bar[None], (Ltau, fdm.structure.n_hops)),
+        sinh_hop_im=None,
         symmetric=True,
         structure=fdm.structure,
         Ltau=Ltau,
