@@ -78,9 +78,9 @@ class AveragedPropagator:
 
 
 def averaged_propagator(fdm: FermionDetMatrix) -> AveragedPropagator:
-    assert not fdm.complex_hops, "KPM/spectral preconditioning of complex hoppings: later round"
     expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
-    cb = build_checkerboard_op(fdm.structure, cosh_bar, sinh_bar)
+    sinh_bar_im = None if fdm.sinh_hop_im is None else jnp.mean(fdm.sinh_hop_im, axis=0)
+    cb = build_checkerboard_op(fdm.structure, cosh_bar, sinh_bar, sinh_bar_im)
     return AveragedPropagator(cb=cb, expV=expV_bar, symmetric=fdm.symmetric)
 
 
@@ -197,6 +197,11 @@ class KPMPreconditioner:
         """Construct and immediately update (mirrors KPMPreconditioner ctor,
         /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
         symmetric propagator as in :263)."""
+        if fdm.complex_hops:
+            raise NotImplementedError(
+                "KPM preconditioning of complex hoppings is not supported; use the "
+                "spectral preconditioner (the default), which handles them exactly."
+            )
         Ltau, N = fdm.Ltau, fdm.n_sites
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
         phi, perm, inv_perm, caps, buckets = _static_plan(Ltau, a1_eff, a2, cap_delta_eps, cap_max)

@@ -38,12 +38,13 @@ class SpectralPreconditioner:
     exact while slashing the per-iteration cost; the eigendecomposition itself
     stays f64."""
 
-    Q: jnp.ndarray  # (N, N) eigenvectors of Bbar
+    Q: jnp.ndarray  # (N, N) eigenvectors of Bbar (2N x 2N for complex hoppings)
     filt: jnp.ndarray  # (Ltau, N) 1 / (lam^2 - 2 lam cos(phi_w) + 1)
     fft: TauFourier
     Ltau: int = static_field()
     n_sites: int = static_field()
     dtype: str = static_field(default="float32")
+    complex_pair: bool = static_field(default=False)
 
     def as_operator(self):
         return lambda r: spectral_apply(self, r)
@@ -59,21 +60,31 @@ def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPre
     For the ASYMMETRIC factorization (Bbar = D CB, not symmetric) the
     preconditioner uses the half-angle symmetrization CB(dtau/2) D CB(dtau/2)^T
     built from the same averaged factors — it differs from the true Bbar by
-    O(dtau^2) commutators, which only costs a few CG iterations."""
-    if fdm.complex_hops:
-        raise NotImplementedError(
-            "spectral preconditioner for complex hoppings lands in a later round "
-            "(needs the complex-Hermitian eigenbasis in paired-channel form); "
-            "run complex-hopping models unpreconditioned or with KPM disabled."
-        )
+    O(dtau^2) commutators, which only costs a few CG iterations.
+
+    COMPLEX hoppings: Bbar is complex Hermitian, equivalently the real SYMMETRIC
+    2N x 2N embedding E = [[B_re, -B_im], [B_im, B_re]] acting on the stacked
+    (re, im)-channel site vector; eigh(E) carries every eigenvalue of Bbar twice
+    and the same per-frequency filter applies in the doubled basis."""
     dt = jnp.dtype(dtype)
     if fdm.symmetric:
         bbar = averaged_propagator(fdm)
     else:
         bbar = _symmetrized_propagator(fdm)
-    eye = jnp.eye(fdm.n_sites)
-    B = bbar.apply(eye).T  # dense Bbar
-    B = 0.5 * (B + B.T)  # symmetrize against roundoff
+    N = fdm.n_sites
+    if not fdm.complex_hops:
+        eye = jnp.eye(N)
+        B = bbar.apply(eye).T  # dense Bbar
+        B = 0.5 * (B + B.T)  # symmetrize against roundoff
+    else:
+        # dense complex Bbar columns via channel-paired basis vectors
+        eye = jnp.eye(N)
+        basis = jnp.stack([eye, jnp.zeros_like(eye)], axis=1)[:, :, None, :]  # (N, 2, 1, N)
+        out = bbar.apply(basis)  # (N, 2, 1, N): row k = Bbar e_k
+        B_re = out[:, 0, 0, :].T
+        B_im = out[:, 1, 0, :].T
+        B = jnp.block([[B_re, -B_im], [B_im, B_re]])
+        B = 0.5 * (B + B.T)
     lam, Q = jnp.linalg.eigh(B.astype(dt))
     lam = lam.astype(jnp.float64)
     Ltau = fdm.Ltau
@@ -82,24 +93,33 @@ def build_spectral(fdm: FermionDetMatrix, dtype: str = "float32") -> SpectralPre
     denom = lam[None, :] ** 2 - 2.0 * lam[None, :] * cos_phi[:, None] + 1.0  # (Ltau, N)
     # guard: denom >= (1-|lam|)^2 > 0 unless lam = +-1 exactly at phi = 0/pi
     filt = 1.0 / jnp.maximum(denom, 1e-12)
-    dt = jnp.dtype(dtype)
     return SpectralPreconditioner(
         Q=Q.astype(dt),
         filt=filt.astype(dt),
         fft=TauFourier.build(Ltau, dtype=dtype),
         Ltau=Ltau,
-        n_sites=fdm.n_sites,
+        n_sites=N,
         dtype=dtype,
+        complex_pair=fdm.complex_hops,
     )
 
 
 def _symmetrized_propagator(fdm: FermionDetMatrix):
     """Half-angle symmetrized averaged propagator for asymmetric factorizations:
     per hop, cosh/sinh at dtau become cosh/sinh at dtau/2 via half-angle
-    identities, giving a symmetric CB(dtau/2) D CB(dtau/2)^T surrogate."""
+    identities, giving a Hermitian CB(dtau/2) D CB(dtau/2)^dag surrogate."""
     from .checkerboard import build_checkerboard_op
     from .kpm import AveragedPropagator
 
+    if fdm.complex_hops:
+        expV_bar = jnp.mean(fdm.exp_nV, axis=0)
+        cosh_bar = jnp.mean(fdm.cosh_hop, axis=0)
+        sinh_bar = jnp.mean(fdm.sinh_hop, axis=0)
+        sinh_bar_im = jnp.mean(fdm.sinh_hop_im, axis=0)
+        ch2 = jnp.sqrt((1.0 + cosh_bar) / 2.0)
+        safe = 2.0 * jnp.where(ch2 > 0, ch2, 1.0)
+        cb = build_checkerboard_op(fdm.structure, ch2, sinh_bar / safe, sinh_bar_im / safe)
+        return AveragedPropagator(cb=cb, expV=expV_bar, symmetric=True)
     expV_bar, cosh_bar, sinh_bar = fdm.averaged_factors()
     ch2 = jnp.sqrt((1.0 + cosh_bar) / 2.0)
     sh2 = sinh_bar / (2.0 * jnp.where(ch2 > 0, ch2, 1.0))
@@ -113,19 +133,29 @@ def spectral_update(pre: SpectralPreconditioner, fdm: FermionDetMatrix, key=None
 
 
 def spectral_apply(pre: SpectralPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
-    """z = P^{-1} r for real r (..., Ltau, N); batch axes broadcast."""
+    """z = P^{-1} r; batch axes broadcast. For real hoppings r is (..., Ltau, N)
+    with independent channels; for complex hoppings r is the channel pair
+    (..., 2, Ltau, N) and the filter acts in the doubled (re, im)-site basis."""
     in_dtype = r.dtype
     r = r.astype(pre.Q.dtype)
-    ur, ui = pre.fft.forward(r)
-    # rotate to the Bbar eigenbasis (site axis is last)
-    ur = ur @ pre.Q
-    ui = ui @ pre.Q
-    ur = ur * pre.filt
-    ui = ui * pre.filt
-    ur = ur @ pre.Q.T
-    ui = ui @ pre.Q.T
-    zr, _ = pre.fft.inverse(ur, ui)
-    return zr.astype(in_dtype)
+    if not pre.complex_pair:
+        ur, ui = pre.fft.forward(r)
+        ur = ur @ pre.Q
+        ui = ui @ pre.Q
+        ur = ur * pre.filt
+        ui = ui * pre.filt
+        ur = ur @ pre.Q.T
+        ui = ui @ pre.Q.T
+        zr, _ = pre.fft.inverse(ur, ui)
+        return zr.astype(in_dtype)
+    N = pre.n_sites
+    ur, ui = pre.fft.forward(r[..., 0, :, :], r[..., 1, :, :])
+    w = jnp.concatenate([ur, ui], axis=-1)  # (..., Ltau, 2N) per frequency row
+    w = w @ pre.Q
+    w = w * pre.filt
+    w = w @ pre.Q.T
+    zre, zim = pre.fft.inverse(w[..., :N], w[..., N:])
+    return jnp.stack([zre, zim], axis=-3).astype(in_dtype)
 
 
 def dense_spectral(pre: SpectralPreconditioner) -> np.ndarray:

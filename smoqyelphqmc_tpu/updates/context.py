@@ -110,9 +110,6 @@ def initialize_qmc(
     if use_preconditioner:
         kind = preconditioner or "spectral"
         fdm = make_fdm(ctx, x0)
-        if fdm.complex_hops:
-            precond = None  # complex-hopping preconditioning lands in a later round
-        else:
-            precond = build_preconditioner(kind, fdm, sub)
+        precond = build_preconditioner(kind, fdm, sub)
     state = QMCState(x=x0, key=key, precond=precond)
     return ctx, state

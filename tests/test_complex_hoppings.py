@@ -132,10 +132,27 @@ def test_complex_forces_finite_difference(rng):
         np.testing.assert_allclose(force[p, l], fd, rtol=2e-5, atol=1e-7)
 
 
+def test_complex_spectral_preconditioner(rng):
+    """Doubled-basis spectral preconditioner accelerates the complex solve."""
+    fdm = _cplx_fdm(beta=2.0)
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    b = rng.standard_normal((2, fdm.Ltau, fdm.n_sites))
+    bp = jnp.asarray(b)
+    x0, s0 = cg_solve(fdm.mul_MtM, bp, tol=1e-10, maxiter=4000, sys_ndim=3)
+    pre = build_spectral(fdm)
+    x1, s1 = cg_solve(
+        fdm.mul_MtM, bp, precond=pre.as_operator(), tol=1e-10, maxiter=4000, sys_ndim=3
+    )
+    assert bool(s0.converged) and bool(s1.converged)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-7)
+    assert int(s1.iters) < int(s0.iters) // 3, (int(s1.iters), int(s0.iters))
+
+
 def test_complex_hmc_runs():
     geo, tbm, tbp, em, elph = complex_chain_model(beta=0.6)
     ctx, state = initialize_qmc(tbp, elph, seed=1, tol=1e-8)
-    assert state.precond is None  # complex preconditioning deferred
+    assert state.precond is not None  # complex spectral preconditioner active
     step = jax.jit(lambda s: hmc_update(ctx, s, HMCParams(Nt=4)))
     acc = 0
     for _ in range(5):
