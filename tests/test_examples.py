@@ -83,3 +83,12 @@ def test_example_ossh_honeycomb(tmp_path):
     import ossh_honeycomb
 
     assert ossh_honeycomb.run(**_tiny(tmp_path, L=2)) is not None
+
+
+def test_example_holstein_flux_chain(tmp_path):
+    import holstein_flux_chain
+
+    kw = _tiny(tmp_path, L=4)
+    kw.pop("mu")
+    meta = holstein_flux_chain.run(flux=0.5, mu=0.0, **kw)
+    assert meta is not None
