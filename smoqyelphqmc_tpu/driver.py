@@ -321,7 +321,6 @@ def _run_multiwalker(
         walker_sweep,
     )
 
-    assert cfg.target_density is None, "mu tuning with walker batching lands in a later round"
     initialize_datafolder(sim_info)
     geo = spec.geometry
     model_summary(sim_info, cfg.beta, cfg.dtau, geo, tight_binding_model, (electron_phonon_model,))
@@ -343,12 +342,60 @@ def _run_multiwalker(
     )
     hmc_params = HMCParams(Nt=cfg.Nt)
 
-    sweep = jax.jit(lambda s: walker_sweep(ctx, s, hmc_params, recenter=recenter))
-    measure = jax.jit(
-        lambda s, keys: walker_measure(
-            ctx, spec, s, est, keys, tol=cfg.tol, maxiter=cfg.maxiter, mixed=cfg.mixed_precision
+    # per-walker chemical-potential tuners: each chain tunes its own mu, exactly
+    # like the reference's independent MPI ranks. mu rides a per-walker vmapped
+    # context leaf.
+    tuners = None
+    mu_walkers = None
+    if cfg.target_density is not None:
+        t0 = init_mu_tuner(cfg.target_density, cfg.beta, tbp.n_sites, float(np.asarray(tbp.mu)))
+        tuners = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a, (W,) + jnp.shape(a)), t0)
+        mu_walkers = jnp.full((W,), float(np.asarray(tbp.mu)))
+
+    def with_mu(ctx_, mu):
+        return ctx_.replace(tbp=ctx_.tbp.replace(mu=mu))
+
+    if cfg.target_density is None:
+        sweep = jax.jit(lambda s: walker_sweep(ctx, s, hmc_params, recenter=recenter))
+        measure = jax.jit(
+            lambda s, keys: walker_measure(
+                ctx, spec, s, est, keys, tol=cfg.tol, maxiter=cfg.maxiter, mixed=cfg.mixed_precision
+            )
         )
-    )
+    else:
+        from .measure.greens_estimator import update_greens_estimator as _upd_est
+        from .measure.scalar import measure_n as _m_n, measure_Nsqrd as _m_N2
+        from .updates.global_updates import reflection_update as _refl, swap_update as _swap
+        from .updates.hmc import hmc_update as _hmc
+
+        @jax.jit
+        def sweep(s, mus):
+            def one(s1, mu):
+                c = with_mu(ctx, mu)
+                s1, r = _refl(c, s1)
+                s1, sw = _swap(c, s1)
+                s1, h = _hmc(c, s1, hmc_params, recenter=recenter)
+                return s1, (r, sw, h)
+
+            return jax.vmap(one)(s, mus)
+
+        @jax.jit
+        def measure(s, keys, mus):
+            def one(s1, key, mu):
+                c = with_mu(ctx, mu)
+                fdm = make_fdm(c, s1.x)
+                upd = _upd_est(
+                    est, fdm, key, precond=s1.precond, tol=cfg.tol,
+                    maxiter=cfg.maxiter, mixed=cfg.mixed_precision,
+                )
+                out = make_measurements(c, spec, upd.estimator, s1.x)
+                n_re, _ = _m_n(upd.estimator)
+                N2_re, _ = _m_N2(upd.estimator)
+                return out, upd.iters, 2.0 * n_re, N2_re
+
+            return jax.vmap(one)(s, keys, mus)
+
+        tune_step = jax.jit(jax.vmap(mu_tuner_update))
 
     metadata: Dict = {
         "n_walkers": W,
@@ -358,22 +405,37 @@ def _run_multiwalker(
         "hmc_iters": 0.0,
         "measurement_iters": 0.0,
     }
+    key = jax.random.PRNGKey(cfg.seed + 17)
     for _ in range(cfg.N_therm):
-        states, _ = sweep(states)
+        if tuners is None:
+            states, _ = sweep(states)
+        else:
+            states, _ = sweep(states, mu_walkers)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, W)
+            _, _, n_w, N2_w = measure(states, keys, mu_walkers)
+            tuners = tune_step(tuners, n_w, N2_w)
+            mu_walkers = tuners.mu
 
     accs = [MeasurementAccumulator(spec) for _ in range(W)]
-    key = jax.random.PRNGKey(cfg.seed + 17)
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
-    n_up = cfg.N_therm + cfg.N_measurements
     for m in range(cfg.N_measurements):
-        states, (r, s, h) = sweep(states)
+        if tuners is None:
+            states, (r, s, h) = sweep(states)
+        else:
+            states, (r, s, h) = sweep(states, mu_walkers)
         metadata["reflection_acceptance_rate"] += float(np.mean(np.asarray(r.accepted)))
         metadata["swap_acceptance_rate"] += float(np.mean(np.asarray(s.accepted)))
         metadata["hmc_acceptance_rate"] += float(np.mean(np.asarray(h.accepted)))
         metadata["hmc_iters"] += float(np.mean(np.asarray(h.iters_avg)))
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, W)
-        out, iters = measure(states, keys)
+        if tuners is None:
+            out, iters = measure(states, keys)
+        else:
+            out, iters, n_w, N2_w = measure(states, keys, mu_walkers)
+            tuners = tune_step(tuners, n_w, N2_w)
+            mu_walkers = tuners.mu
         metadata["measurement_iters"] += float(np.mean(np.asarray(iters)))
         host = jax.tree_util.tree_map(np.asarray, out)
         for w in range(W):
@@ -392,6 +454,8 @@ def _run_multiwalker(
     for k in ("hmc_acceptance_rate", "reflection_acceptance_rate", "swap_acceptance_rate",
               "hmc_iters", "measurement_iters"):
         metadata[k] /= max(cfg.N_measurements, 1)
+    if tuners is not None:
+        metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)
     process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)

@@ -89,3 +89,26 @@ def test_driver_n_walkers(tmp_path):
     bins = glob.glob(os.path.join(sim_info.bins_folder, "bin-*_pID-*.h5"))
     pids = {p.split("pID-")[1].split(".")[0] for p in bins}
     assert pids == {"0", "1"}
+
+
+def test_driver_n_walkers_with_mu_tuning(tmp_path):
+    import os
+
+    from smoqyelphqmc_tpu.driver import SimulationConfig, run_simulation
+    from smoqyelphqmc_tpu.io import SimulationInfo
+    from smoqyelphqmc_tpu.measure.container import MeasurementSpec
+
+    from _models import honeycomb_model as hm
+
+    geo, tbm, tbp, elph_model, elph = hm(L=2, beta=0.4, dtau=0.1, alpha=0.3)
+    spec = MeasurementSpec(geometry=geo)
+    spec.add_correlation("density", [(0, 0)])
+    cfg = SimulationConfig(
+        beta=0.4, dtau=0.1, N_therm=1, N_measurements=2, N_bins=2,
+        Nt=2, Nrv=3, tol=1e-7, seed=13, n_walkers=2, target_density=1.0,
+    )
+    sim_info = SimulationInfo(filepath=str(tmp_path), datafolder_prefix="walker_mu")
+    meta = run_simulation(sim_info, tbm, elph_model, spec, cfg)
+    assert len(meta["final_mu_per_walker"]) == 2
+    assert all(np.isfinite(v) for v in meta["final_mu_per_walker"])
+    assert os.path.exists(os.path.join(sim_info.datafolder, "stats.h5"))
