@@ -47,19 +47,35 @@ def compute_composite_correlation_ratio(
     q_point: Sequence[int],
     q_neighbors: Sequence[Sequence[int]],
     type: str = "equal-time",
+    spec=None,
 ) -> Tuple[complex, float]:
-    """Correlation ratio for a composite correlation measured during the run."""
+    """Correlation ratio for a composite correlation measured during the run.
+    Composite data is stored per id-pair; coefficients (and displacement phases
+    when present and `spec` provides the reciprocal lattice) fold in here."""
     merged = os.path.join(datafolder, "binned_data.h5")
     with h5py.File(merged, "r") as f:
-        data = f["composite"][name][()]  # (nb, Lt+1, *L)
+        ds = f["composite"][name]
+        data = ds[()]  # (nb, n_pairs, Lt+1, *L)
+        coefs = np.asarray(ds.attrs.get("coefficients", np.ones(data.shape[1])))
+        disps = np.asarray(ds.attrs["pair_displacements"]) if "pair_displacements" in ds.attrs else None
     if type == "equal-time":
-        Cr = data[:, 0]
-    else:  # integrated
-        dtau = 1.0
-        w = np.ones(data.shape[1])
+        Cr = data[:, :, 0]
+    else:  # integrated (trapezoid weights, unit dtau scale cancels in the ratio)
+        w = np.ones(data.shape[2])
         w[0] = w[-1] = 0.5
-        Cr = np.tensordot(data, w, axes=([1], [0])) * dtau
-    Sq = np.fft.fftn(Cr, axes=tuple(range(1, Cr.ndim)))
+        Cr = np.tensordot(data, w, axes=([2], [0]))
+    Sq_pairs = np.fft.fftn(Cr, axes=tuple(range(2, Cr.ndim)))  # (nb, n_pairs, *L)
+    Lshape = Sq_pairs.shape[2:]
+    phases = np.ones((len(coefs),) + tuple(Lshape), dtype=complex)
+    if disps is not None and spec is not None:
+        B = spec.geometry.unit_cell.reciprocal_vec_matrix
+        grids = np.meshgrid(*[np.arange(l) for l in Lshape], indexing="ij")
+        for k in range(len(coefs)):
+            ang = np.zeros(tuple(Lshape))
+            for d, g in enumerate(grids):
+                ang = ang + (g / Lshape[d]) * float(B[d] @ disps[k])
+            phases[k] = np.exp(-1j * ang)
+    Sq = np.einsum("k,k...,bk...->b...", coefs, phases, Sq_pairs)
     return _ratio_from_bins(Sq, q_point, q_neighbors)
 
 

@@ -51,6 +51,9 @@ def write_measurement_bin(
                     req = spec.composites[name]
                     ds.attrs["time_displaced"] = req.time_displaced
                     ds.attrs["integrated"] = req.integrated
+                    ds.attrs["coefficients"] = np.asarray(req.coefficients, dtype=np.complex128)
+                    if req.pair_displacements is not None:
+                        ds.attrs["pair_displacements"] = np.asarray(req.pair_displacements)
     return path
 
 
@@ -216,26 +219,39 @@ def process_measurements(
                 continue
             grp_out = out.require_group(category)
             for name, ds in f[category].items():
-                data = _rebin(ds[()], nb)  # (nb, [pairs], Lt+1, *L)
+                data = _rebin(ds[()], nb)  # (nb, pairs, Lt+1, *L)
                 time_displaced = bool(ds.attrs.get("time_displaced", False))
                 integrated = bool(ds.attrs.get("integrated", False))
-                mean, err = _stats(data)
-                g = grp_out.create_group(name)
-                g.create_dataset("mean_r", data=mean)
-                g.create_dataset("std_r", data=err)
-                # momentum space: FFT over the trailing lattice axes
-                # data layout: (bin, pairs, Lt+1, *L) for correlations,
-                #              (bin, Lt+1, *L) for composites
-                lat_axes = tuple(range(3, data.ndim)) if category == "correlations" else tuple(range(2, data.ndim))
+                lat_axes = tuple(range(3, data.ndim))
+                Lshape = data.shape[3:]
                 data_q = np.fft.fftn(data, axes=lat_axes)
-                # orbital basis-vector phases in momentum space
-                if category == "correlations" and spec is not None and name in spec.correlations:
+                if category == "composite":
+                    # compose per-pair stacks: plain coefficients in r-space,
+                    # coefficient x displacement phase in momentum space
+                    coefs = np.asarray(ds.attrs.get("coefficients", np.ones(data.shape[1])))
+                    data = np.einsum("k,bk...->b...", coefs, data)
+                    phases = np.ones((len(coefs),) + tuple(Lshape), dtype=complex)
+                    if "pair_displacements" in ds.attrs and spec is not None:
+                        B = spec.geometry.unit_cell.reciprocal_vec_matrix
+                        disps = np.asarray(ds.attrs["pair_displacements"])
+                        grids = np.meshgrid(*[np.arange(l) for l in Lshape], indexing="ij")
+                        for k in range(len(coefs)):
+                            ang = np.zeros(tuple(Lshape))
+                            for d, g in enumerate(grids):
+                                ang = ang + (g / Lshape[d]) * float(B[d] @ disps[k])
+                            phases[k] = np.exp(-1j * ang)
+                    data_q = np.einsum("k,k...,bk...->b...", coefs, phases, data_q)
+                elif category == "correlations" and spec is not None and name in spec.correlations:
+                    # orbital basis-vector phases in momentum space
                     req = spec.correlations[name]
-                    Lshape = data.shape[3:]
                     for k, pair in enumerate(req.id_pairs):
                         ph = _orbital_pair_phase(spec.geometry, pair, req.kind, Lshape)
                         if ph is not None:
                             data_q[:, k] = data_q[:, k] * ph[None, None]
+                mean, err = _stats(data)
+                g = grp_out.create_group(name)
+                g.create_dataset("mean_r", data=mean)
+                g.create_dataset("std_r", data=err)
                 mean_q, err_q = _stats(data_q)
                 g.create_dataset("mean_q", data=mean_q)
                 g.create_dataset("std_q", data=err_q)
@@ -246,7 +262,7 @@ def process_measurements(
 
                 # equal-time row and integrated susceptibility
                 def tau_reduce(arr):
-                    # arr: (nb, [pairs], Lt+1, *L)
+                    # arr: (nb, pairs, Lt+1, *L) or composed (nb, Lt+1, *L)
                     tau_ax = 1 if category == "composite" else 2
                     eq = np.take(arr, 0, axis=tau_ax)
                     if dtau > 0:

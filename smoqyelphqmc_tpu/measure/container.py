@@ -78,9 +78,9 @@ class CompositeRequest:
     coefficients: Tuple[complex, ...]  # one per id pair
     time_displaced: bool = False
     integrated: bool = False
-    # displacement vectors (one per id in the generating `ids` form) are folded
-    # into the coefficients' phases at postprocessing time for structure factors.
-    displacement_vecs: Optional[Tuple[Tuple[float, ...], ...]] = None
+    # per-PAIR displacement difference d_i - d_j (from the generating `ids` form);
+    # folded into momentum-space phases at postprocessing (structure factors).
+    pair_displacements: Optional[Tuple[Tuple[float, ...], ...]] = None
 
 
 @dataclasses.dataclass
@@ -125,15 +125,22 @@ class MeasurementSpec:
         all pairs (i, j) get coefficient c_i * conj(c_j); with `id_pairs`, the
         given pairs get the given coefficients directly."""
         assert correlation in ALL_KINDS
+        pair_disps = None
         if ids is not None:
             pairs = []
             coefs = []
-            for i, ci in zip(ids, coefficients):
-                for j, cj in zip(ids, coefficients):
+            disps = []
+            for ki, (i, ci) in enumerate(zip(ids, coefficients)):
+                for kj, (j, cj) in enumerate(zip(ids, coefficients)):
                     pairs.append((int(i), int(j)))
                     coefs.append(complex(ci) * np.conj(complex(cj)))
+                    if displacement_vecs is not None:
+                        di = np.asarray(displacement_vecs[ki], dtype=float)
+                        dj = np.asarray(displacement_vecs[kj], dtype=float)
+                        disps.append(tuple(di - dj))
             id_pairs = tuple(pairs)
             coefficients = tuple(coefs)
+            pair_disps = tuple(disps) if disps else None
         else:
             assert id_pairs is not None
             id_pairs = tuple((int(a), int(b)) for a, b in id_pairs)
@@ -145,9 +152,7 @@ class MeasurementSpec:
             coefficients=coefficients,
             time_displaced=time_displaced,
             integrated=integrated,
-            displacement_vecs=None
-            if displacement_vecs is None
-            else tuple(tuple(float(v) for v in d) for d in displacement_vecs),
+            pair_displacements=pair_disps,
         )
 
 
@@ -331,20 +336,21 @@ def make_measurements(
     out["correlations"] = corr
 
     # ---- composite correlations (make_measurements.jl:398-713) ----
+    # stored PER PAIR so postprocessing can fold coefficients (r-space) and
+    # coefficient x displacement phases (structure factors) exactly
     comp: Dict[str, object] = {}
     for name, creq in spec.composites.items():
-        shape = (est.Ltau + 1,) + est.L
-        Cr = jnp.zeros(shape)
-        Ci = jnp.zeros(shape)
         base = CorrelationRequest(kind=creq.kind, id_pairs=creq.id_pairs)
-        stack_re, stack_im = _measure_one_correlation(ctx, spec, est, x, fpi, base)
-        for k, c in enumerate(creq.coefficients):
-            cr, ci = float(np.real(c)), float(np.imag(c))
-            Cr = Cr + cr * stack_re[k] - ci * stack_im[k]
-            Ci = Ci + cr * stack_im[k] + ci * stack_re[k]
-        comp[name] = (Cr, Ci)
+        comp[name] = _measure_one_correlation(ctx, spec, est, x, fpi, base)
     out["composite"] = comp
     return out
+
+
+def compose_composite(coefficients, stack: np.ndarray, pairs_axis: int) -> np.ndarray:
+    """sum_k c_k stack[..., k, ...] along pairs_axis (complex coefficients)."""
+    coefs = np.asarray(coefficients)
+    moved = np.moveaxis(stack, pairs_axis, -1)
+    return moved @ coefs
 
 
 # ----------------------------------------------------------------------

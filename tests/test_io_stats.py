@@ -29,7 +29,7 @@ def _synthetic_bins(tmp_path, n_bins=8, Ltau=4, L=(4,), rng=None):
             "global": {"density": (np.asarray(scalar), np.asarray(0.0))},
             "local": {},
             "correlations": {"density": (corr[:, :], np.zeros_like(corr))},
-            "composite": {"cdw": (corr[0], np.zeros_like(corr[0]))},
+            "composite": {},
         }
         data.append((scalar, corr))
         write_measurement_bin(sim, b, tree, spec, dtau=0.1)

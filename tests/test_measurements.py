@@ -63,7 +63,7 @@ def test_make_measurements_full_pass():
     Lt1 = fdm.Ltau + 1
     assert out["correlations"]["greens"][0].shape == (3, Lt1, 2, 2)
     assert out["correlations"]["density"][0].shape == (2, Lt1, 2, 2)
-    assert out["composite"]["cdw"][0].shape == (Lt1, 2, 2)
+    assert out["composite"]["cdw"][0].shape == (4, Lt1, 2, 2)  # per-pair stack
     g = out["global"]
     assert 0.0 < float(g["density"][0]) < 2.0
     assert np.isfinite(float(g["Nsqrd"][0]))
@@ -86,7 +86,10 @@ def test_make_measurements_full_pass():
 
 
 def test_cdw_composite_consistency():
-    """Composite with ids [0,1], coefs [1,-1] equals C00 + C11 - C01 - C10."""
+    """Composite with ids [0,1], coefs [1,-1]: composed stack equals
+    C00 + C11 - C01 - C10."""
+    from smoqyelphqmc_tpu.measure.container import compose_composite
+
     geo, ctx, state, fdm, est = _setup(honeycomb_model, Nrv=6, L=2, beta=0.6, alpha=0.5)
     spec = MeasurementSpec(geometry=geo)
     spec.add_correlation("density", [(0, 0), (1, 1), (0, 1), (1, 0)])
@@ -94,7 +97,11 @@ def test_cdw_composite_consistency():
     out = make_measurements(ctx, spec, est, state.x)
     C = out["correlations"]["density"][0]
     manual = C[0] + C[1] - C[2] - C[3]
-    np.testing.assert_allclose(np.asarray(out["composite"]["cdw"][0]), np.asarray(manual), atol=1e-10)
+    stack = np.asarray(out["composite"]["cdw"][0])
+    composed = compose_composite(
+        np.real(np.asarray(spec.composites["cdw"].coefficients)), stack, pairs_axis=0
+    )
+    np.testing.assert_allclose(composed, np.asarray(manual), atol=1e-10)
 
 
 def test_phonon_greens_zero_displacement_is_x2():
