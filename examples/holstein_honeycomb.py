@@ -37,6 +37,7 @@ def run(
     R, dR = compute_composite_correlation_ratio(
         sim_info.datafolder, "cdw", q_point=(0, 0),
         q_neighbors=[(1, 0), (0, 1), (1, 1), (L - 1, 0), (0, L - 1), (L - 1, L - 1)],
+        spec=spec,
     )
     metadata["Rcdw_mean_real"] = float(R.real)
     metadata["Rcdw_mean_imag"] = float(R.imag)
