@@ -60,5 +60,4 @@ __all__ = [
     "FermionPathIntegral",
     "build_path_integral",
     "FermionDetMatrix",
-
 ]

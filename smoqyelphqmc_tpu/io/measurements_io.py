@@ -117,12 +117,6 @@ def _stats(data: np.ndarray):
     return mean, err
 
 
-def _momentum_transform(corr: np.ndarray) -> np.ndarray:
-    """FFT r -> q over the cell axes (all trailing axes after tau)."""
-    axes = tuple(range(2, corr.ndim))  # (bin?, tau, *L) style callers pass (tau, *L)
-    return np.fft.fftn(corr, axes=tuple(range(1, corr.ndim)))
-
-
 def _orbital_pair_phase(geometry, id_pair, kind: str, Lshape) -> Optional[np.ndarray]:
     """Momentum-space basis phase exp(-i q . (d_a - d_b)) over the q grid for an
     orbital-pair correlation (JDQMCMeasurements.fourier_transform! capability:
