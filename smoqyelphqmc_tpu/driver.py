@@ -109,6 +109,7 @@ def run_simulation(
     hmc_params = HMCParams(Nt=cfg.Nt)
 
     tuner: Optional[MuTunerState] = None
+    tuning_history = []
     if cfg.target_density is not None:
         tuner = init_mu_tuner(
             cfg.target_density, cfg.beta, tbp.n_sites, float(np.asarray(tbp.mu))
@@ -244,6 +245,7 @@ def run_simulation(
             est, iters, n, Nsq = tune_pass(ctx, state, est, sub)
             tuner = mu_tuner_update(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
+            tuning_history.append((float(tuner.mu), float(n), float(Nsq)))
         therm_done += 1
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
@@ -270,6 +272,7 @@ def run_simulation(
         if tuner is not None:
             tuner = mu_tuner_update(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
+            tuning_history.append((float(tuner.mu), float(n), float(Nsq)))
         acc.accumulate(out)
         meas_done += 1
         if meas_done % bin_size == 0:
@@ -293,6 +296,9 @@ def run_simulation(
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
     if tuner is not None:
         metadata["final_mu"] = float(np.asarray(tuner.mu))
+        from .io.simulation_info import save_density_tuning_profile
+
+        save_density_tuning_profile(sim_info, tuning_history)
 
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)

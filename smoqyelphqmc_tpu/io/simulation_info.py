@@ -208,3 +208,28 @@ def save_simulation_info(sim_info: SimulationInfo, metadata: Optional[Dict[str, 
     path = os.path.join(sim_info.datafolder, f"simulation_info_pID-{sim_info.pID}.toml")
     _write_toml(path, tree)
     return path
+
+
+def rename_complete_simulation(sim_info: SimulationInfo, delete_checkpoints: bool = True) -> str:
+    """Mark a finished simulation by renaming its folder with a '-complete'
+    suffix (rename_complete_simulation, used at
+    /root/reference/tutorials/holstein_honeycomb_checkpoint.jl:693-700)."""
+    if delete_checkpoints:
+        from .checkpoint import delete_checkpoints as _del
+
+        _del(sim_info.datafolder)
+    target = sim_info.datafolder + "-complete"
+    os.rename(sim_info.datafolder, target)
+    return target
+
+
+def save_density_tuning_profile(sim_info: SimulationInfo, history) -> str:
+    """Write the chemical-potential tuning trajectory (save_density_tuning_profile,
+    /root/reference/tutorials/holstein_honeycomb_density_tuning.jl:677): one row
+    per tuner update with (step, mu, n, Nsqrd)."""
+    path = os.path.join(sim_info.datafolder, f"density_tuning_profile_pID-{sim_info.pID}.csv")
+    with open(path, "w") as f:
+        f.write("step mu n Nsqrd\n")
+        for k, (mu, n, N2) in enumerate(history):
+            f.write(f"{k} {mu!r} {n!r} {N2!r}\n")
+    return path

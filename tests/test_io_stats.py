@@ -90,3 +90,21 @@ def test_correlation_ratio_synthetic(tmp_path):
     # S(0) = 8A = 16, S(+-1) = 8B/2 = 4 -> R = 1 - 4/16 = 0.75
     np.testing.assert_allclose(R.real, 0.75, atol=0.02)
     assert dR < 0.05
+
+
+def test_rename_complete_and_tuning_profile(tmp_path):
+    import os
+
+    from smoqyelphqmc_tpu.io import (
+        initialize_datafolder,
+        rename_complete_simulation,
+        save_density_tuning_profile,
+    )
+    from smoqyelphqmc_tpu.io.simulation_info import SimulationInfo
+
+    sim = SimulationInfo(filepath=str(tmp_path), datafolder_prefix="fin", sID=1)
+    initialize_datafolder(sim)
+    save_density_tuning_profile(sim, [(0.1, 1.0, 4.0), (0.2, 1.1, 4.1)])
+    assert os.path.exists(os.path.join(sim.datafolder, "density_tuning_profile_pID-0.csv"))
+    target = rename_complete_simulation(sim)
+    assert target.endswith("-complete") and os.path.isdir(target)
