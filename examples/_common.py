@@ -3,7 +3,13 @@ sections of the reference tutorials and examples)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
+
+# allow running the examples directly from a source checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smoqyelphqmc_tpu import (
     Bond,

@@ -41,6 +41,9 @@ class SimulationConfig:
     N_measurements: int = 100
     N_bins: int = 10
     Nt: int = 24
+    hmc_dt: float = 0.0  # leapfrog timestep; 0 -> pi / (2 Nt)
+    hmc_jitter: float = 0.05  # +-fractional timestep noise per trajectory
+    eta: float = 0.0  # EFA mass-regularization (ExactFourierAccelerator eta)
     Nrv: int = 10
     tol: float = 1e-10
     maxiter: int = 10_000
@@ -80,7 +83,9 @@ def run_simulation(
     (sharded over the device mesh when several devices are visible); each walker
     writes its own pID-tagged bin stream, replacing the reference's MPI ranks."""
     if cfg.n_walkers > 1:
-        return _run_multiwalker(sim_info, tight_binding_model, electron_phonon_model, spec, cfg, recenter)
+        return _run_multiwalker(
+            sim_info, tight_binding_model, electron_phonon_model, spec, cfg, recenter, resume
+        )
     start_time = time.time()
     initialize_datafolder(sim_info)
     geo = spec.geometry
@@ -98,6 +103,7 @@ def run_simulation(
         symmetric=cfg.symmetric,
         tol=cfg.tol,
         maxiter=cfg.maxiter,
+        eta=cfg.eta,
         use_preconditioner=cfg.use_preconditioner,
         preconditioner=cfg.preconditioner,
         mixed_precision=cfg.mixed_precision,
@@ -106,7 +112,7 @@ def run_simulation(
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
     )
-    hmc_params = HMCParams(Nt=cfg.Nt)
+    hmc_params = HMCParams(Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter)
 
     tuner: Optional[MuTunerState] = None
     tuning_history = []
@@ -182,6 +188,7 @@ def run_simulation(
     cp_stamp: Optional[float] = None
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
     acc = MeasurementAccumulator(spec)
+    key_host = jax.random.PRNGKey(cfg.seed + 7919)
     if resume:
         cp = read_checkpoint(sim_info.datafolder, sim_info.pID)
         if cp is not None:
@@ -195,15 +202,26 @@ def run_simulation(
             if tuner is not None and s.get("tuner") is not None:
                 tuner = tuner.replace(**{k: jnp.asarray(v) for k, v in s["tuner"].items()})
                 ctx = set_mu(ctx, tuner.mu)
+            # partial-bin accumulator + host measurement RNG: restoring both makes
+            # a mid-bin resume bit-identical to an uninterrupted run (the reference
+            # checkpoints the full measurement container, _checkpoint.jl:516-531)
+            if s.get("key_host") is not None:
+                key_host = jnp.asarray(s["key_host"])
+            if s.get("acc_sums") is not None:
+                acc.sums = s["acc_sums"]
+                acc.count = int(s["acc_count"])
 
     def maybe_checkpoint():
         nonlocal cp_stamp
         tree = {
             "x": state.x,
             "key": state.key,
+            "key_host": key_host,
             "therm_done": therm_done,
             "meas_done": meas_done,
             "metadata": dict(metadata),
+            "acc_sums": acc.sums,
+            "acc_count": acc.count,
             "tuner": None
             if tuner is None
             else {
@@ -230,7 +248,6 @@ def run_simulation(
     # ------------------------------------------------------------------
     # thermalize
     # ------------------------------------------------------------------
-    key_host = jax.random.PRNGKey(cfg.seed + 7919)
     while therm_done < cfg.N_therm:
         state, (r, s, rad, h) = sweep(ctx, state)
         metadata["reflection_acceptance_rate"] += float(r.accepted)
@@ -314,19 +331,21 @@ def _run_multiwalker(
     spec: MeasurementSpec,
     cfg: SimulationConfig,
     recenter=None,
+    resume: bool = True,
 ) -> Dict:
     """Walker-axis variant of run_simulation: W independent chains advance as one
     vmapped program (sharded over the device mesh when possible); per-walker bin
     streams are tagged by pID exactly like the reference's MPI ranks
-    (tutorials/holstein_honeycomb_mpi.jl:59-72)."""
-    from .parallel.walkers import (
-        init_walker_states,
-        shard_walker_states,
-        walker_measure,
-        walker_mesh,
-        walker_sweep,
-    )
+    (tutorials/holstein_honeycomb_mpi.jl:59-72).
 
+    Full parity with the single-walker path: radial updates, a cheap tuning pass
+    during thermalization, per-walker density-tuning profiles, and wall-clock-gated
+    checkpoint/resume (incl. the partial-bin accumulators and host RNG, so the MPI
+    + checkpoint tutorial composition, holstein_honeycomb_checkpoint.jl:383-416,
+    carries over)."""
+    from .parallel.walkers import init_walker_states, shard_walker_states, walker_mesh
+
+    start_time = time.time()
     initialize_datafolder(sim_info)
     geo = spec.geometry
     model_summary(sim_info, cfg.beta, cfg.dtau, geo, tight_binding_model, (electron_phonon_model,))
@@ -336,7 +355,7 @@ def _run_multiwalker(
     elph = ElectronPhononParameters.from_model(cfg.beta, cfg.dtau, electron_phonon_model, tbp, rng)
     ctx, state0 = initialize_qmc(
         tbp, elph, seed=cfg.seed, symmetric=cfg.symmetric, tol=cfg.tol,
-        maxiter=cfg.maxiter, use_preconditioner=cfg.use_preconditioner,
+        maxiter=cfg.maxiter, eta=cfg.eta, use_preconditioner=cfg.use_preconditioner,
         preconditioner=cfg.preconditioner, mixed_precision=cfg.mixed_precision,
         force_dtype=cfg.force_dtype,
     )
@@ -346,123 +365,234 @@ def _run_multiwalker(
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
     )
-    hmc_params = HMCParams(Nt=cfg.Nt)
+    hmc_params = HMCParams(Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter)
 
-    # per-walker chemical-potential tuners: each chain tunes its own mu, exactly
-    # like the reference's independent MPI ranks. mu rides a per-walker vmapped
-    # context leaf.
+    # per-walker chemical potential: each chain tunes its own mu, exactly like the
+    # reference's independent MPI ranks. mu always rides a per-walker context leaf
+    # so one jitted program serves both the tuned and fixed-mu cases.
+    mu0 = float(np.asarray(tbp.mu))
+    mu_walkers = jnp.full((W,), mu0)
     tuners = None
-    mu_walkers = None
+    tuning_histories = [[] for _ in range(W)]
     if cfg.target_density is not None:
-        t0 = init_mu_tuner(cfg.target_density, cfg.beta, tbp.n_sites, float(np.asarray(tbp.mu)))
+        t0 = init_mu_tuner(cfg.target_density, cfg.beta, tbp.n_sites, mu0)
         tuners = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a, (W,) + jnp.shape(a)), t0)
-        mu_walkers = jnp.full((W,), float(np.asarray(tbp.mu)))
+        tune_step = jax.jit(jax.vmap(mu_tuner_update))
 
     def with_mu(ctx_, mu):
         return ctx_.replace(tbp=ctx_.tbp.replace(mu=mu))
 
-    if cfg.target_density is None:
-        sweep = jax.jit(lambda s: walker_sweep(ctx, s, hmc_params, recenter=recenter))
-        measure = jax.jit(
-            lambda s, keys: walker_measure(
-                ctx, spec, s, est, keys, tol=cfg.tol, maxiter=cfg.maxiter, mixed=cfg.mixed_precision
-            )
+    from .measure.greens_estimator import update_greens_estimator as _upd_est
+    from .measure.scalar import measure_n as _m_n, measure_Nsqrd as _m_N2
+
+    @jax.jit
+    def sweep(s, mus):
+        def one(s1, mu):
+            c = with_mu(ctx, mu)
+            s1, r = reflection_update(c, s1)
+            s1, sw = swap_update(c, s1)
+            if cfg.use_radial_updates:
+                s1, rad = radial_update(c, s1)
+            else:
+                rad = r
+            s1, h = hmc_update(c, s1, hmc_params, recenter=recenter)
+            return s1, (r, sw, rad, h)
+
+        return jax.vmap(one)(s, mus)
+
+    def _refresh_est(s1, key, mu):
+        c = with_mu(ctx, mu)
+        fdm = make_fdm(c, s1.x)
+        upd = _upd_est(
+            est, fdm, key, precond=s1.precond, tol=cfg.tol,
+            maxiter=cfg.maxiter, mixed=cfg.mixed_precision,
         )
-    else:
-        from .measure.greens_estimator import update_greens_estimator as _upd_est
-        from .measure.scalar import measure_n as _m_n, measure_Nsqrd as _m_N2
-        from .updates.global_updates import reflection_update as _refl, swap_update as _swap
-        from .updates.hmc import hmc_update as _hmc
+        n_re, _ = _m_n(upd.estimator)
+        N2_re, _ = _m_N2(upd.estimator)
+        return c, upd, 2.0 * n_re, N2_re
 
-        @jax.jit
-        def sweep(s, mus):
-            def one(s1, mu):
-                c = with_mu(ctx, mu)
-                s1, r = _refl(c, s1)
-                s1, sw = _swap(c, s1)
-                s1, h = _hmc(c, s1, hmc_params, recenter=recenter)
-                return s1, (r, sw, h)
+    @jax.jit
+    def measure(s, keys, mus):
+        def one(s1, key, mu):
+            c, upd, n, N2 = _refresh_est(s1, key, mu)
+            out = make_measurements(c, spec, upd.estimator, s1.x)
+            return out, upd.iters, n, N2
 
-            return jax.vmap(one)(s, mus)
+        return jax.vmap(one)(s, keys, mus)
 
-        @jax.jit
-        def measure(s, keys, mus):
-            def one(s1, key, mu):
-                c = with_mu(ctx, mu)
-                fdm = make_fdm(c, s1.x)
-                upd = _upd_est(
-                    est, fdm, key, precond=s1.precond, tol=cfg.tol,
-                    maxiter=cfg.maxiter, mixed=cfg.mixed_precision,
-                )
-                out = make_measurements(c, spec, upd.estimator, s1.x)
-                n_re, _ = _m_n(upd.estimator)
-                N2_re, _ = _m_N2(upd.estimator)
-                return out, upd.iters, 2.0 * n_re, N2_re
+    @jax.jit
+    def tune(s, keys, mus):
+        # cheap thermalization pass: estimator refresh + (n, N^2) only — no
+        # correlation contractions (the single-walker tune_pass equivalent)
+        def one(s1, key, mu):
+            _, upd, n, N2 = _refresh_est(s1, key, mu)
+            return upd.iters, n, N2
 
-            return jax.vmap(one)(s, keys, mus)
-
-        tune_step = jax.jit(jax.vmap(mu_tuner_update))
+        return jax.vmap(one)(s, keys, mus)
 
     metadata: Dict = {
         "n_walkers": W,
+        "N_therm": cfg.N_therm,
+        "N_measurements": cfg.N_measurements,
+        "N_bins": cfg.N_bins,
+        "seed": cfg.seed,
         "hmc_acceptance_rate": 0.0,
         "reflection_acceptance_rate": 0.0,
         "swap_acceptance_rate": 0.0,
+        "radial_acceptance_rate": 0.0,
         "hmc_iters": 0.0,
+        "reflection_iters": 0.0,
+        "swap_iters": 0.0,
         "measurement_iters": 0.0,
     }
-    key = jax.random.PRNGKey(cfg.seed + 17)
-    for _ in range(cfg.N_therm):
-        if tuners is None:
-            states, _ = sweep(states)
-        else:
-            states, _ = sweep(states, mu_walkers)
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, W)
-            _, _, n_w, N2_w = measure(states, keys, mu_walkers)
-            tuners = tune_step(tuners, n_w, N2_w)
-            mu_walkers = tuners.mu
-
     accs = [MeasurementAccumulator(spec) for _ in range(W)]
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
-    for m in range(cfg.N_measurements):
-        if tuners is None:
-            states, (r, s, h) = sweep(states)
-        else:
-            states, (r, s, h) = sweep(states, mu_walkers)
+    therm_done = 0
+    meas_done = 0
+    cp_stamp: Optional[float] = None
+    key = jax.random.PRNGKey(cfg.seed + 17)
+
+    # ------------------------------------------------------------------
+    # resume
+    # ------------------------------------------------------------------
+    if resume:
+        cp = read_checkpoint(sim_info.datafolder, sim_info.pID)
+        if cp is not None:
+            s = cp["state"]
+            states = shard_walker_states(
+                QMCState(x=jnp.asarray(s["x"]), key=jnp.asarray(s["key"]), precond=states.precond),
+                mesh,
+            )
+            therm_done = int(s["therm_done"])
+            meas_done = int(s["meas_done"])
+            metadata.update(s["metadata"])
+            key = jnp.asarray(s["key_host"])
+            mu_walkers = jnp.asarray(s["mu_walkers"])
+            if tuners is not None and s.get("tuners") is not None:
+                tuners = tuners.replace(**{k: jnp.asarray(v) for k, v in s["tuners"].items()})
+            if s.get("tuning_histories") is not None:
+                tuning_histories = [list(h) for h in s["tuning_histories"]]
+            if s.get("accs") is not None:
+                for w, a in enumerate(s["accs"]):
+                    accs[w].sums = a["sums"]
+                    accs[w].count = int(a["count"])
+
+    def maybe_checkpoint():
+        nonlocal cp_stamp
+        tree = {
+            "x": states.x,
+            "key": states.key,
+            "key_host": key,
+            "therm_done": therm_done,
+            "meas_done": meas_done,
+            "metadata": dict(metadata),
+            "mu_walkers": mu_walkers,
+            "tuners": None
+            if tuners is None
+            else {
+                "mu": tuners.mu,
+                "t": tuners.t,
+                "mu_sum": tuners.mu_sum,
+                "n_sum": tuners.n_sum,
+                "N_sum": tuners.N_sum,
+                "Nsq_sum": tuners.Nsq_sum,
+                "weight": tuners.weight,
+            },
+            "tuning_histories": [list(h) for h in tuning_histories],
+            "accs": [{"sums": a.sums, "count": a.count} for a in accs],
+        }
+        cp_stamp = write_checkpoint(
+            sim_info.datafolder,
+            tree,
+            pID=sim_info.pID,
+            checkpoint_timestamp=cp_stamp,
+            checkpoint_freq_hours=cfg.checkpoint_freq_hours,
+        )
+
+    def out_of_time() -> bool:
+        return runtime_exceeded(start_time, cfg.runtime_limit_hours)
+
+    def record_sweep_stats(r, s, rad, h):
         metadata["reflection_acceptance_rate"] += float(np.mean(np.asarray(r.accepted)))
         metadata["swap_acceptance_rate"] += float(np.mean(np.asarray(s.accepted)))
+        metadata["radial_acceptance_rate"] += float(np.mean(np.asarray(rad.accepted)))
         metadata["hmc_acceptance_rate"] += float(np.mean(np.asarray(h.accepted)))
+        metadata["reflection_iters"] += float(np.mean(np.asarray(r.iters)))
+        metadata["swap_iters"] += float(np.mean(np.asarray(s.iters)))
         metadata["hmc_iters"] += float(np.mean(np.asarray(h.iters_avg)))
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, W)
-        if tuners is None:
-            out, iters = measure(states, keys)
-        else:
-            out, iters, n_w, N2_w = measure(states, keys, mu_walkers)
+
+    # ------------------------------------------------------------------
+    # thermalize
+    # ------------------------------------------------------------------
+    while therm_done < cfg.N_therm:
+        states, (r, s, rad, h) = sweep(states, mu_walkers)
+        record_sweep_stats(r, s, rad, h)
+        if tuners is not None:
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, W)
+            _, n_w, N2_w = tune(states, keys, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
+            mus, ns, N2s = np.asarray(mu_walkers), np.asarray(n_w), np.asarray(N2_w)
+            for w in range(W):
+                tuning_histories[w].append((float(mus[w]), float(ns[w]), float(N2s[w])))
+        therm_done += 1
+        if cfg.checkpoint_freq_hours < np.inf:
+            maybe_checkpoint()
+        if out_of_time():
+            maybe_checkpoint()
+            return metadata
+
+    # ------------------------------------------------------------------
+    # measure
+    # ------------------------------------------------------------------
+    while meas_done < cfg.N_measurements:
+        states, (r, s, rad, h) = sweep(states, mu_walkers)
+        record_sweep_stats(r, s, rad, h)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, W)
+        out, iters, n_w, N2_w = measure(states, keys, mu_walkers)
+        if tuners is not None:
+            tuners = tune_step(tuners, n_w, N2_w)
+            mu_walkers = tuners.mu
+            mus, ns, N2s = np.asarray(mu_walkers), np.asarray(n_w), np.asarray(N2_w)
+            for w in range(W):
+                tuning_histories[w].append((float(mus[w]), float(ns[w]), float(N2s[w])))
         metadata["measurement_iters"] += float(np.mean(np.asarray(iters)))
         host = jax.tree_util.tree_map(np.asarray, out)
         for w in range(W):
             accs[w].accumulate(jax.tree_util.tree_map(lambda a, w=w: a[w], host))
-        if (m + 1) % bin_size == 0:
-            b = (m + 1) // bin_size - 1
+        meas_done += 1
+        if meas_done % bin_size == 0:
+            b = meas_done // bin_size - 1
             for w in range(W):
-                si = SimulationInfo(
-                    filepath=sim_info.filepath,
-                    datafolder_prefix=sim_info.datafolder_prefix,
-                    sID=sim_info.sID,
-                    pID=w,
+                write_measurement_bin(
+                    sim_info.with_pID(w), b, accs[w].finalize_bin(), spec, dtau=cfg.dtau
                 )
-                write_measurement_bin(si, b, accs[w].finalize_bin(), spec, dtau=cfg.dtau)
+        if cfg.checkpoint_freq_hours < np.inf:
+            maybe_checkpoint()
+        if out_of_time() and meas_done < cfg.N_measurements:
+            maybe_checkpoint()
+            return metadata
 
-    for k in ("hmc_acceptance_rate", "reflection_acceptance_rate", "swap_acceptance_rate",
-              "hmc_iters", "measurement_iters"):
-        metadata[k] /= max(cfg.N_measurements, 1)
+    # ------------------------------------------------------------------
+    # finalize
+    # ------------------------------------------------------------------
+    n_updates = cfg.N_therm + cfg.N_measurements
+    for k in ("hmc", "reflection", "swap", "radial"):
+        metadata[f"{k}_acceptance_rate"] /= max(n_updates, 1)
+    metadata["hmc_iters"] /= max(n_updates, 1)
+    metadata["reflection_iters"] /= max(n_updates, 1)
+    metadata["swap_iters"] /= max(n_updates, 1)
+    metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
     if tuners is not None:
         metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
+        from .io.simulation_info import save_density_tuning_profile
+
+        for w in range(W):
+            save_density_tuning_profile(sim_info.with_pID(w), tuning_histories[w])
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)
     process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
+    delete_checkpoints(sim_info.datafolder, sim_info.pID)
     return metadata

@@ -282,16 +282,27 @@ def process_measurements(
                     g.create_dataset(tag + "_std", data=e)
 
                 if export_to_csv:
-                    m, e = _stats(eq_r)
-                    rows = []
-                    it = np.ndindex(m.shape)
-                    for idx in it:
-                        rows.append(
+                    def export(tag, arr):
+                        m, e = _stats(arr)
+                        rows = [
                             (name, "|".join(map(str, idx)), m[idx].real, m[idx].imag, np.abs(e[idx]))
+                            for idx in np.ndindex(m.shape)
+                        ]
+                        write_csv(
+                            f"{category}_{name}_{tag}.csv",
+                            ["name", "index", "mean_real", "mean_imag", "std"],
+                            rows,
                         )
-                    write_csv(
-                        f"{category}_{name}_equal_time.csv",
-                        ["name", "index", "mean_real", "mean_imag", "std"],
-                        rows,
-                    )
+
+                    # the reference's CSV output set: equal-time always, plus
+                    # time-displaced and integrated tables when requested, each
+                    # in position and momentum space
+                    export("equal_time", eq_r)
+                    export("equal_time_momentum", eq_q)
+                    if time_displaced:
+                        export("time_displaced", data)
+                        export("time_displaced_momentum", data_q)
+                    if integrated:
+                        export("integrated", chi_r)
+                        export("integrated_momentum", chi_q)
     return stats_path

@@ -43,6 +43,10 @@ class SimulationInfo:
     def bins_folder(self) -> str:
         return os.path.join(self.datafolder, "bins")
 
+    def with_pID(self, pID: int) -> "SimulationInfo":
+        """Clone pointing at the same datafolder but tagged for another walker."""
+        return dataclasses.replace(self, pID=pID, sID=self.sID)
+
 
 def initialize_datafolder(sim_info: SimulationInfo) -> None:
     os.makedirs(sim_info.datafolder, exist_ok=True)

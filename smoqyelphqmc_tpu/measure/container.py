@@ -55,11 +55,28 @@ from .local_measurements import (
 )
 from .scalar import measure_double_occ, measure_n, measure_Nsqrd
 
-ORBITAL_KINDS = ("greens", "density", "density_upup", "density_updn", "spin_z", "spin_x")
-BOND_KINDS = ("pair", "bond", "bond_upup", "bond_updn")
-CURRENT_KINDS = ("current", "current_upup", "current_updn")
+ORBITAL_KINDS = (
+    "greens", "greens_up", "greens_dn",
+    "density", "density_upup", "density_updn", "density_dndn", "density_dnup",
+    "spin_z", "spin_x",
+)
+BOND_KINDS = ("pair", "bond", "bond_upup", "bond_updn", "bond_dndn", "bond_dnup")
+CURRENT_KINDS = ("current", "current_upup", "current_updn", "current_dndn", "current_dnup")
 PHONON_KINDS = ("phonon_greens",)
 ALL_KINDS = ORBITAL_KINDS + BOND_KINDS + CURRENT_KINDS + PHONON_KINDS
+
+# spin-resolved channel per kind suffix; for spin-symmetric models dn-dn is the
+# same contraction as up-up and dn-up the same as up-dn (the reference dispatches
+# both names to one branch, make_measurements.jl:209-218,256-270,298-329)
+_SPIN_CHANNEL = {
+    "upup": (0, 0), "updn": (0, 1), "dndn": (1, 1), "dnup": (1, 0),
+}
+
+
+def _spin_channel(kind: str):
+    """(spin_resolved tuple or None) for a correlation-kind name."""
+    suffix = kind.rsplit("_", 1)[-1]
+    return _SPIN_CHANNEL.get(suffix)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +181,12 @@ class MeasurementSpec:
 def _bond_t_field(est: GreensEstimator, ctx: QMCContext, fpi, bond_id: int):
     """Hopping field t(l, cell) of one t-bond as an (re, None) pair (Ltau, *L)."""
     # bond_id indexes ctx.tbp.bond_ids; find its position
-    pos = ctx.tbp.bond_ids.index(bond_id) if bond_id in ctx.tbp.bond_ids else bond_id
+    if bond_id not in ctx.tbp.bond_ids:
+        raise ValueError(
+            f"current correlation requested for bond id {bond_id}, which is not a "
+            f"hopping (t) bond of the tight-binding model (t-bond ids: {ctx.tbp.bond_ids})"
+        )
+    pos = ctx.tbp.bond_ids.index(bond_id)
     start, stop = ctx.tbp.bond_slices[pos]
     t = fpi.t[:, start:stop].reshape((est.Ltau,) + est.L)
     t_im = None
@@ -187,30 +209,24 @@ def _measure_one_correlation(
     geo = spec.geometry
     for (ia, ib) in req.id_pairs:
         C = (jnp.zeros(shape), jnp.zeros(shape))
-        if req.kind == "greens":
+        if req.kind in ("greens", "greens_up", "greens_dn"):
             C = measure_greens_correlation(C, est, ia, ib)
-        elif req.kind == "density":
-            C = measure_density_correlation(C, est, ia, ib)
-        elif req.kind == "density_upup":
-            C = measure_density_correlation(C, est, ia, ib, spin_resolved=(0, 0))
-        elif req.kind == "density_updn":
-            C = measure_density_correlation(C, est, ia, ib, spin_resolved=(0, 1))
+        elif req.kind.startswith("density"):
+            C = measure_density_correlation(C, est, ia, ib, spin_resolved=_spin_channel(req.kind))
         elif req.kind == "spin_z" or req.kind == "spin_x":
             C = measure_spin_z_correlation(C, est, ia, ib)
         elif req.kind == "pair":
             C = measure_pair_correlation(C, est, geo.bond(ia), geo.bond(ib))
-        elif req.kind == "bond":
-            C = measure_bond_correlation(C, est, geo.bond(ia), geo.bond(ib))
-        elif req.kind == "bond_upup":
-            C = measure_bond_correlation(C, est, geo.bond(ia), geo.bond(ib), spin_resolved=(0, 0))
-        elif req.kind == "bond_updn":
-            C = measure_bond_correlation(C, est, geo.bond(ia), geo.bond(ib), spin_resolved=(0, 1))
+        elif req.kind.startswith("bond"):
+            C = measure_bond_correlation(
+                C, est, geo.bond(ia), geo.bond(ib), spin_resolved=_spin_channel(req.kind)
+            )
         elif req.kind in CURRENT_KINDS:
             t1 = _bond_t_field(est, ctx, fpi, ia)
             t2 = _bond_t_field(est, ctx, fpi, ib)
-            sr = None if req.kind == "current" else ((0, 0) if req.kind == "current_upup" else (0, 1))
             C = measure_current_correlation(
-                C, est, geo.bond(ia), geo.bond(ib), t1, t2, spin_resolved=sr
+                C, est, geo.bond(ia), geo.bond(ib), t1, t2,
+                spin_resolved=_spin_channel(req.kind),
             )
         elif req.kind == "phonon_greens":
             C = _phonon_greens(C, ctx, est, x, ia, ib)
@@ -256,15 +272,25 @@ def make_measurements(
     n_re, n_im = measure_n(est)
     Nsq_re, Nsq_im = measure_Nsqrd(est)
     docc_re, docc_im = measure_double_occ(est)
+    nan = jnp.asarray(jnp.nan)
+    zero = jnp.asarray(0.0)
     glob = {
-        "sgn": (jnp.asarray(1.0), jnp.asarray(0.0)),
+        "sgn": (jnp.asarray(1.0), zero),
+        # DQMC-only entries the PFF formulation never computes; the reference
+        # records them as NaN (make_measurements.jl:101-107)
+        "sgndetGup": (nan, zero),
+        "sgndetGdn": (nan, zero),
+        "logdetGup": (nan, zero),
+        "logdetGdn": (nan, zero),
+        "action_fermionic": (nan, zero),
+        "action_total": (nan, zero),
         "density": (2.0 * n_re, 2.0 * n_im),
         "density_up": (n_re, n_im),
         "density_dn": (n_re, n_im),
         "double_occ": (docc_re, docc_im),
         "Nsqrd": (Nsq_re, Nsq_im),
-        "chemical_potential": (tbp.mu, jnp.asarray(0.0)),
-        "bosonic_action": (bosonic_action(elph, x), jnp.asarray(0.0)),
+        "chemical_potential": (tbp.mu, zero),
+        "action_bosonic": (bosonic_action(elph, x), zero),
     }
     out["global"] = glob
 

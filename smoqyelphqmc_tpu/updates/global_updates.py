@@ -90,6 +90,11 @@ def reflection_update(
     """Flip x -> -x on all time slices of one randomly chosen phonon mode
     (reflection_update!, reflection_update.jl:23-178)."""
     cands = _candidate_modes(ctx, phonon_types)
+    if len(cands) == 0:
+        raise ValueError(
+            "reflection_update: no unfrozen phonon modes match phonon_types="
+            f"{phonon_types} — nothing to update"
+        )
     key = state.key
     key, k_mode, k_phi, k_acc, k_pre = jax.random.split(key, 5)
     state = QMCState(x=state.x, key=key, precond=state.precond)
@@ -122,6 +127,11 @@ def swap_update(
     elph = ctx.elph
     n_cells = elph.n_cells
     pairs = _type_pairs(ctx, phonon_type_pairs)
+    if len(pairs) == 0:
+        raise ValueError(
+            "swap_update: no unfrozen phonon-type pairs match phonon_type_pairs="
+            f"{phonon_type_pairs} — nothing to update"
+        )
     key = state.key
     key, k_pair, k_c1, k_c2, k_phi, k_acc, k_pre = jax.random.split(key, 7)
     state = QMCState(x=state.x, key=key, precond=state.precond)
@@ -159,6 +169,10 @@ def radial_update(
             phonon_id * n_cells : (phonon_id + 1) * n_cells
         ]
     d = int(sel.sum()) * elph.Ltau
+    if d == 0:
+        raise ValueError(
+            f"radial_update: no unfrozen phonon fields selected (phonon_id={phonon_id})"
+        )
     key = state.key
     key, k_gamma, k_phi, k_acc, k_pre = jax.random.split(key, 5)
     state = QMCState(x=state.x, key=key, precond=state.precond)

@@ -108,3 +108,57 @@ def test_rename_complete_and_tuning_profile(tmp_path):
     assert os.path.exists(os.path.join(sim.datafolder, "density_tuning_profile_pID-0.csv"))
     target = rename_complete_simulation(sim)
     assert target.endswith("-complete") and os.path.isdir(target)
+
+
+def test_csv_export_surface(tmp_path):
+    """Time-displaced and integrated CSV tables are exported alongside the
+    equal-time ones, in position and momentum space (the reference tutorial's
+    process_measurements output set, holstein_honeycomb.jl:723-736)."""
+    sim, spec, data = _synthetic_bins(tmp_path)
+    # mark the correlation time-displaced as well
+    spec.correlations["density"] = spec.correlations["density"].__class__(
+        kind="density", id_pairs=((0, 0),), time_displaced=True, integrated=True
+    )
+    # rewrite one bin so the merged attrs carry the new flags
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(sim.bins_folder, "*.h5")):
+        os.remove(p)
+    for b, (scalar, corr) in enumerate(data):
+        tree = {
+            "global": {"density": (np.asarray(scalar), np.asarray(0.0))},
+            "local": {},
+            "correlations": {"density": (corr, np.zeros_like(corr))},
+            "composite": {},
+        }
+        write_measurement_bin(sim, b, tree, spec, dtau=0.1)
+    merge_bins(sim)
+    process_measurements(sim.datafolder, spec=spec)
+    for tag in ("equal_time", "equal_time_momentum", "time_displaced",
+                "time_displaced_momentum", "integrated", "integrated_momentum"):
+        path = os.path.join(sim.datafolder, f"correlations_density_{tag}.csv")
+        assert os.path.exists(path), tag
+        with open(path) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0].split() == ["name", "index", "mean_real", "mean_imag", "std"]
+        assert len(lines) > 1
+
+
+def test_global_update_guards():
+    """Empty candidate sets raise instead of sampling from an empty range."""
+    import jax
+    import pytest
+
+    from smoqyelphqmc_tpu.updates.context import initialize_qmc
+    from smoqyelphqmc_tpu.updates.global_updates import (
+        radial_update,
+        reflection_update,
+        swap_update,
+    )
+
+    geo, tbm, tbp, em, elph = chain_model(L=4, beta=0.5, dtau=0.1)
+    ctx, state = initialize_qmc(tbp, elph, seed=0, tol=1e-6, use_preconditioner=False)
+    with pytest.raises(ValueError, match="reflection_update"):
+        reflection_update(ctx, state, phonon_types=[])
+    with pytest.raises(ValueError, match="swap_update"):
+        swap_update(ctx, state, phonon_type_pairs=[])

@@ -72,8 +72,15 @@ def test_make_measurements_full_pass():
     assert loc["onsite_energy"][0].shape == (2,)
     assert loc["holstein_energy"][0].shape == (2,)  # two holstein coupling types
     assert loc["X2"][0].shape == (2,)
-    # all finite
-    flat, _ = jax.tree_util.tree_flatten(out)
+    # all finite — except the DQMC-only globals the reference records as NaN
+    # (make_measurements.jl:101-107)
+    nan_globals = {"sgndetGup", "sgndetGdn", "logdetGup", "logdetGdn",
+                   "action_fermionic", "action_total"}
+    finite_out = {k: v for k, v in out.items() if k != "global"}
+    finite_out["global"] = {k: v for k, v in out["global"].items() if k not in nan_globals}
+    for k in nan_globals:
+        assert np.isnan(float(out["global"][k][0]))
+    flat, _ = jax.tree_util.tree_flatten(finite_out)
     for leaf in flat:
         assert np.all(np.isfinite(np.asarray(leaf)))
 
