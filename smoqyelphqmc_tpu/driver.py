@@ -54,7 +54,7 @@ class SimulationConfig:
     checkpoint_freq_hours: float = np.inf
     runtime_limit_hours: float = np.inf
     use_preconditioner: bool = True
-    preconditioner: Optional[str] = None  # 'spectral' | 'kpm' | None -> default
+    preconditioner: Optional[str] = None  # 'auto' (default) | 'spectral' | 'kpm' | 'none'
     mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
     # contraction-engine dtype: f32 rounding (~1e-7) is far below statistical
     # noise; measured 16x faster than f64 on TPU (BENCH.md)

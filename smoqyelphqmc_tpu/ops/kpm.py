@@ -15,14 +15,21 @@ buffered bounds leave (0,1) u (1,2) (KPMPreconditioner.jl:573-594).
 TPU mapping (the load-bearing design choices):
 
 - The reference expands each frequency separately with a per-frequency order
-  n_w ~ (eps_max - eps_min)(a1/phi + a2) (KPMPreconditioner.jl:711). Here the
-  frequency axis is *statically bucketed*: frequencies are permuted (static sort)
-  by a static order cap, grouped into power-of-two tiers, and each bucket runs ONE
-  Chebyshev recurrence over its whole (n_freq_bucket, N) block — Bbar is the same
-  operator for every frequency, so T_k(Bbar') u costs one batched checkerboard
-  sweep per k regardless of how many frequencies share it. Runtime orders (from
-  live Lanczos bounds) zero out coefficients beyond n_w, preserving the
+  n_w ~ (eps_max - eps_min)(a1/phi + a2) (KPMPreconditioner.jl:711). Here ONE
+  Chebyshev recurrence runs over the whole (Ltau, N) frequency block — Bbar is
+  the same operator for every frequency — with runtime orders (from live Lanczos
+  bounds) zeroing coefficients beyond each frequency's n_w, preserving the
   reference's adaptive truncation without dynamic shapes.
+- The recurrence is BLOCKED to cut sequential latency sqrt(C)-fold: Bbar is
+  densified once per refresh (N x N — trivially affordable next to the O(N^3)
+  alternatives), the stride matrix T_s(Bbar') is built by an s-step dense matrix
+  recurrence at refresh time, and the apply advances s Chebyshev orders per
+  dense (s*Ltau, N) x (N, N) matmul via T_{m+s} = 2 T_s T_m - T_{m-s}. Depth
+  falls from C latency-bound checkerboard sweeps (measured ~30 ms/apply at
+  C = 64, BENCH.md round 1) to ~2 sqrt(C) MXU-shaped matmuls.
+- The whole apply runs in float32 by default: a preconditioner is a fixed SPD
+  map, so its precision never affects the f64 CG solution, only (marginally)
+  the iteration count.
 - Chebyshev coefficients are computed on device as small cosine-transform matmuls
   every update (cheap), instead of the reference's drift-gated host recompute.
 - Everything is real arithmetic: complex frequency-space vectors are (re, im)
@@ -121,11 +128,13 @@ def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_
 
     An earlier design grouped frequencies into power-of-two tiers with one
     recurrence per tier; TPU profiling showed the many small sequential steps are
-    latency-bound (BENCH.md), so the plan now runs a single Chebyshev recurrence
-    over the whole (Ltau, N) frequency block, truncated at cap_max terms
-    (coefficients are zero beyond each frequency's own order, so higher
-    frequencies simply stop contributing). cap_max trades preconditioner quality
-    at the few lowest Matsubara frequencies for a hard bound on sequential work."""
+    latency-bound (BENCH.md), so the plan runs a single blocked Chebyshev
+    recurrence over the whole (Ltau, N) frequency block, truncated at cap_max
+    terms padded up to a (block_size x n_blocks) grid (coefficients are zero
+    beyond each frequency's own order, so higher frequencies simply stop
+    contributing). cap_max trades preconditioner quality at the few lowest
+    Matsubara frequencies for a hard bound on sequential work; raise it for
+    large beta (each extra block_size orders cost ONE more dense matmul)."""
     w = np.arange(Ltau)
     phi = 2.0 * np.pi * (w + 0.5) / Ltau
     phi_eff = np.minimum(phi, 2.0 * np.pi - phi)
@@ -133,8 +142,11 @@ def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_
     caps = np.minimum(caps, cap_max)
     perm = np.arange(Ltau, dtype=np.int32)
     C = int(max(caps.max(), 1))
-    buckets = ((0, Ltau, C),)
-    return phi, perm, perm.copy(), caps, buckets
+    block_size = max(1, int(np.ceil(np.sqrt(C))))
+    n_blocks = int(np.ceil(C / block_size))
+    C_pad = block_size * n_blocks
+    buckets = ((0, Ltau, C_pad),)
+    return phi, perm, perm.copy(), caps, buckets, block_size, n_blocks
 
 
 def _cheb_nodes_and_cosmat(C: int):
@@ -169,6 +181,8 @@ class KPMPreconditioner:
     coefs_re: Tuple[jnp.ndarray, ...]
     coefs_im: Tuple[jnp.ndarray, ...]
     fft: TauFourier
+    BpT: jnp.ndarray  # (N, N) dense transposed scaled propagator Bbar' = (Bbar - c)/h
+    TsT: jnp.ndarray  # (N, N) dense transposed stride matrix T_s(Bbar')
     symmetric: bool = static_field()
     Ltau: int = static_field()
     n_sites: int = static_field()
@@ -181,6 +195,9 @@ class KPMPreconditioner:
     inv_perm: np.ndarray = static_field()
     caps: np.ndarray = static_field()
     buckets: Tuple[Tuple[int, int, int], ...] = static_field()
+    block_size: int = static_field(default=8)
+    n_blocks: int = static_field(default=8)
+    dtype: str = static_field(default="float32")
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -193,6 +210,7 @@ class KPMPreconditioner:
         a2: float = 1.0,
         cap_delta_eps: float = 1.0,
         cap_max: int = 64,
+        dtype: str = "float32",
     ) -> "KPMPreconditioner":
         """Construct and immediately update (mirrors KPMPreconditioner ctor,
         /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
@@ -204,9 +222,12 @@ class KPMPreconditioner:
             )
         Ltau, N = fdm.Ltau, fdm.n_sites
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
-        phi, perm, inv_perm, caps, buckets = _static_plan(Ltau, a1_eff, a2, cap_delta_eps, cap_max)
-        coefs_re = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
-        coefs_im = tuple(jnp.zeros((stop - start, C)) for (start, stop, C) in buckets)
+        phi, perm, inv_perm, caps, buckets, block_size, n_blocks = _static_plan(
+            Ltau, a1_eff, a2, cap_delta_eps, cap_max
+        )
+        dt = jnp.dtype(dtype)
+        coefs_re = tuple(jnp.zeros((stop - start, C), dt) for (start, stop, C) in buckets)
+        coefs_im = tuple(jnp.zeros((stop - start, C), dt) for (start, stop, C) in buckets)
         pre = KPMPreconditioner(
             bbar=averaged_propagator(fdm),
             lo=jnp.asarray(0.0),
@@ -214,7 +235,9 @@ class KPMPreconditioner:
             active=jnp.asarray(False),
             coefs_re=coefs_re,
             coefs_im=coefs_im,
-            fft=TauFourier.build(Ltau),
+            fft=TauFourier.build(Ltau, dtype=dtype),
+            BpT=jnp.zeros((N, N), dt),
+            TsT=jnp.zeros((N, N), dt),
             symmetric=fdm.symmetric,
             Ltau=Ltau,
             n_sites=N,
@@ -227,6 +250,9 @@ class KPMPreconditioner:
             inv_perm=inv_perm,
             caps=caps,
             buckets=buckets,
+            block_size=block_size,
+            n_blocks=n_blocks,
+            dtype=dtype,
         )
         return kpm_update(pre, fdm, key)
 
@@ -272,6 +298,7 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
 
     center = (hi_s + lo_s) / 2.0
     half = (hi_s - lo_s) / 2.0
+    half_safe = jnp.maximum(half, 1e-12)
 
     coefs_re = []
     coefs_im = []
@@ -296,8 +323,28 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
         # zero out terms beyond the runtime order
         kidx = jnp.arange(C)[None, :]
         mask = kidx < orders_sorted[start:stop][:, None]
-        coefs_re.append(jnp.where(mask, cre, 0.0))
-        coefs_im.append(jnp.where(mask, cim, 0.0))
+        dt = jnp.dtype(pre.dtype)
+        coefs_re.append(jnp.where(mask, cre, 0.0).astype(dt))
+        coefs_im.append(jnp.where(mask, cim, 0.0).astype(dt))
+
+    # dense scaled propagator + stride matrix for the blocked recurrence.
+    # bbar.apply maps row-vectors: row i of apply(I) is Bbar e_i, i.e. the dense
+    # matrix stored here IS Bbar^T, exactly what the row-form matmuls below need.
+    dt = jnp.dtype(pre.dtype)
+    N = pre.n_sites
+    eyeN = jnp.eye(N)
+    BbarT = bbar.apply(eyeN)
+    BpT = ((BbarT - center * eyeN) / half_safe).astype(dt)
+    s = pre.block_size
+    # TsT = T_s(Bbar')^T by the dense Chebyshev matrix recurrence (s-1 matmuls,
+    # MXU-shaped, once per refresh)
+    if s == 1:
+        TsT = BpT
+    else:
+        m_prev, m_cur = jnp.eye(N, dtype=dt), BpT
+        for _ in range(s - 1):
+            m_prev, m_cur = m_cur, 2.0 * (BpT @ m_cur) - m_prev
+        TsT = m_cur
 
     return pre.replace(
         bbar=bbar,
@@ -306,6 +353,8 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
         active=active,
         coefs_re=tuple(coefs_re),
         coefs_im=tuple(coefs_im),
+        BpT=BpT,
+        TsT=TsT,
     )
 
 
@@ -314,78 +363,90 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
 # ----------------------------------------------------------------------
 
 
-def _cheb_recurrence(apply_Bp, u_re, u_im, cre, cim, C: int):
-    """y = sum_k c_k T_k(B') u for complex coefficient planes c (F, C) and a
-    complex frequency-space pair u (.., F, N); B' is a real operator so the
-    re/im channels share the same recurrence."""
+def _block_cheb(pre: "KPMPreconditioner", u_re, u_im, cre, cim):
+    """y = sum_k c_k T_k(B') u for complex coefficient planes c (F, C_pad) and a
+    complex frequency-space pair u (..., F, N), via the blocked recurrence
 
-    def acc(y_re, y_im, t_re, t_im, k):
-        ck_re = lax.dynamic_slice_in_dim(cre, k, 1, axis=1)[:, 0][:, None]
-        ck_im = lax.dynamic_slice_in_dim(cim, k, 1, axis=1)[:, 0][:, None]
-        y_re = y_re + ck_re * t_re - ck_im * t_im
-        y_im = y_im + ck_re * t_im + ck_im * t_re
+        Block_b = [T_{bs+j} u]_{j<s},   Block_{b+1} = 2 Block_b @ TsT - Block_{b-1}
+
+    (T_{m+s} = 2 T_s T_m - T_{m-s}). B' is real, so the re/im channels share the
+    recurrence; every step is one MXU matmul instead of a latency-bound
+    checkerboard sweep."""
+    s, nb = pre.block_size, pre.n_blocks
+    BpT, TsT = pre.BpT, pre.TsT
+    F = cre.shape[0]
+
+    # coefficient planes regrouped per block: (nb, s, F)
+    cre_b = cre.T.reshape(nb, s, F)
+    cim_b = cim.T.reshape(nb, s, F)
+
+    def acc(y_re, y_im, B_re, B_im, cb_re, cb_im):
+        # y += sum_j c[j, f] * Block[j, ..., f, :]  (complex)
+        y_re = y_re + jnp.einsum("jf,j...fn->...fn", cb_re, B_re) - jnp.einsum(
+            "jf,j...fn->...fn", cb_im, B_im
+        )
+        y_im = y_im + jnp.einsum("jf,j...fn->...fn", cb_re, B_im) + jnp.einsum(
+            "jf,j...fn->...fn", cb_im, B_re
+        )
         return y_re, y_im
 
-    t0_re, t0_im = u_re, u_im
+    # block 0: T_0 u .. T_{s-1} u (s-1 sequential matmuls)
+    ts_re, ts_im = [u_re], [u_im]
+    if s > 1:
+        ts_re.append(u_re @ BpT)
+        ts_im.append(u_im @ BpT)
+        for _ in range(s - 2):
+            ts_re.append(2.0 * (ts_re[-1] @ BpT) - ts_re[-2])
+            ts_im.append(2.0 * (ts_im[-1] @ BpT) - ts_im[-2])
+    B0_re = jnp.stack(ts_re)
+    B0_im = jnp.stack(ts_im)
     y_re = jnp.zeros_like(u_re)
     y_im = jnp.zeros_like(u_im)
-    y_re, y_im = acc(y_re, y_im, t0_re, t0_im, 0)
-    if C == 1:
+    y_re, y_im = acc(y_re, y_im, B0_re, B0_im, cre_b[0], cim_b[0])
+    if nb == 1:
         return y_re, y_im
-    t1_re, t1_im = apply_Bp(t0_re), apply_Bp(t0_im)
-    y_re, y_im = acc(y_re, y_im, t1_re, t1_im, 1)
 
-    def body(k, carry):
-        tm1_re, tm1_im, t_re, t_im, y_re, y_im = carry
-        tn_re = 2.0 * apply_Bp(t_re) - tm1_re
-        tn_im = 2.0 * apply_Bp(t_im) - tm1_im
-        y_re, y_im = acc(y_re, y_im, tn_re, tn_im, k)
-        return (t_re, t_im, tn_re, tn_im, y_re, y_im)
+    # block -1 is [T_{s-j} u]_{j<s} = (T_s u, then block 0 reversed from index s-1..1)
+    Bm1_re = jnp.concatenate([(u_re @ TsT)[None], B0_re[1:][::-1]], axis=0)
+    Bm1_im = jnp.concatenate([(u_im @ TsT)[None], B0_im[1:][::-1]], axis=0)
 
-    carry = (t0_re, t0_im, t1_re, t1_im, y_re, y_im)
-    carry = lax.fori_loop(2, C, body, carry)
+    def body(b, carry):
+        Bp_re, Bp_im, Bc_re, Bc_im, y_re, y_im = carry
+        Bn_re = 2.0 * (Bc_re @ TsT) - Bp_re
+        Bn_im = 2.0 * (Bc_im @ TsT) - Bp_im
+        cb_re = lax.dynamic_slice_in_dim(cre_b, b, 1, axis=0)[0]
+        cb_im = lax.dynamic_slice_in_dim(cim_b, b, 1, axis=0)[0]
+        y_re, y_im = acc(y_re, y_im, Bn_re, Bn_im, cb_re, cb_im)
+        return (Bc_re, Bc_im, Bn_re, Bn_im, y_re, y_im)
+
+    carry = (Bm1_re, Bm1_im, B0_re, B0_im, y_re, y_im)
+    carry = lax.fori_loop(1, nb, body, carry)
     return carry[4], carry[5]
 
 
 def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """z = P^{-1} r for real r (..., Ltau, N); channels/batches broadcast.
 
-    Pipeline: tau-FFT -> static frequency permutation -> per-bucket Chebyshev in
-    Bbar -> inverse permutation -> inverse FFT -> real part
-    (ldiv!, /root/reference/src/KPMPreconditioner.jl:288-352).
+    Pipeline: tau-FFT -> blocked Chebyshev in dense Bbar' -> inverse FFT -> real
+    part (ldiv!, /root/reference/src/KPMPreconditioner.jl:288-352). Runs in
+    pre.dtype (f32 default); the caller's dtype is restored on return.
     """
-    center = (pre.hi + pre.lo) / 2.0
-    half = jnp.maximum((pre.hi - pre.lo) / 2.0, 1e-12)
-
-    def apply_Bp(v):
-        return (pre.bbar.apply(v) - center * v) / half
+    in_dtype = r.dtype
+    r = r.astype(pre.BpT.dtype)
 
     def transform(r):
         ure, uim = pre.fft.forward(r)
-        ure = jnp.take(ure, jnp.asarray(pre.perm), axis=-2)
-        uim = jnp.take(uim, jnp.asarray(pre.perm), axis=-2)
-        out_re = []
-        out_im = []
-        for bi, (start, stop, C) in enumerate(pre.buckets):
-            ub_re = ure[..., start:stop, :]
-            ub_im = uim[..., start:stop, :]
-            cre, cim = pre.coefs_re[bi], pre.coefs_im[bi]
-            if pre.symmetric:
-                yb_re, yb_im = _cheb_recurrence(apply_Bp, ub_re, ub_im, cre, cim, C)
-            else:
-                # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
-                yb_re, yb_im = _cheb_recurrence(apply_Bp, ub_re, ub_im, cre, -cim, C)
-                yb_re, yb_im = _cheb_recurrence(apply_Bp, yb_re, yb_im, cre, cim, C)
-            out_re.append(yb_re)
-            out_im.append(yb_im)
-        yre = jnp.concatenate(out_re, axis=-2)
-        yim = jnp.concatenate(out_im, axis=-2)
-        yre = jnp.take(yre, jnp.asarray(pre.inv_perm), axis=-2)
-        yim = jnp.take(yim, jnp.asarray(pre.inv_perm), axis=-2)
+        cre, cim = pre.coefs_re[0], pre.coefs_im[0]
+        if pre.symmetric:
+            yre, yim = _block_cheb(pre, ure, uim, cre, cim)
+        else:
+            # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
+            yre, yim = _block_cheb(pre, ure, uim, cre, -cim)
+            yre, yim = _block_cheb(pre, yre, yim, cre, cim)
         zre, _ = pre.fft.inverse(yre, yim)
         return zre
 
-    return lax.cond(pre.active, transform, lambda r: r, r)
+    return lax.cond(pre.active, transform, lambda r: r, r).astype(in_dtype)
 
 
 def dense_preconditioner(pre: KPMPreconditioner) -> np.ndarray:

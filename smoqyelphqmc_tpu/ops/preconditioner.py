@@ -11,10 +11,24 @@ from .kpm import KPMPreconditioner, kpm_update
 from .spectral_precond import SpectralPreconditioner, build_spectral, spectral_update
 
 
+# Auto-select crossover (sites): below this the exact spectral preconditioner's
+# eigh(N) refresh is cheap and its 2-matmul apply is unbeatable; above it the
+# eigh dominates the sweep and the blocked-KPM (Lanczos + dense-stride refresh,
+# ~2 sqrt(C) matmuls per apply) wins. Set from the scaling study in BENCH.md.
+AUTO_SPECTRAL_MAX_SITES = 512
+
+
 def build_preconditioner(kind: Optional[str], fdm: FermionDetMatrix, key):
-    """kind: 'spectral' (default for symmetric), 'kpm', or None."""
+    """kind: 'auto' (spectral below AUTO_SPECTRAL_MAX_SITES, kpm above),
+    'spectral', 'kpm', or None."""
     if kind is None or kind == "none":
         return None
+    if kind == "auto":
+        # complex hoppings: only the spectral preconditioner supports them
+        if fdm.complex_hops or fdm.n_sites <= AUTO_SPECTRAL_MAX_SITES:
+            kind = "spectral"
+        else:
+            kind = "kpm"
     if kind == "spectral":
         return build_spectral(fdm)
     if kind == "kpm":

@@ -45,6 +45,13 @@ class QMCContext:
     maxiter: int = static_field()
     mixed_precision: bool = static_field(default=False)
     force_dtype: str = static_field(default="float64")
+    # refresh the carried preconditioner inside reflection/swap/radial proposals.
+    # Off by default: a global move changes one phonon mode out of N, so Bbar (a
+    # tau- AND site-averaged object) barely moves, and the preconditioner only
+    # affects CG iteration count, never the sampled distribution. The HMC update
+    # still refreshes once per trajectory. Saves 2 of 3 refreshes per sweep —
+    # the dominant cost when the refresh is an eigendecomposition (BENCH.md).
+    refresh_precond_global: bool = static_field(default=False)
 
     @property
     def Ltau(self) -> int:
@@ -80,13 +87,14 @@ def initialize_qmc(
     preconditioner: Optional[str] = None,
     mixed_precision: bool = False,
     force_dtype: str = "float64",
+    refresh_precond_global: bool = False,
 ) -> tuple[QMCContext, QMCState]:
     """Build the context and initial state (the reference's setup cascade,
     SURVEY.md section 3.1, collapsed into one call).
 
-    preconditioner: 'spectral' (default — exact for the symmetric factorization,
-    half-angle symmetrized surrogate for the asymmetric one), 'kpm' (Chebyshev),
-    or None."""
+    preconditioner: 'auto' (default — exact spectral below the N crossover,
+    blocked-Chebyshev KPM above, see ops/preconditioner.py), 'spectral',
+    'kpm', or None."""
     structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
     plan = build_force_plan(elph, structure)
     efa = FourierAccelerator.build(elph, eta=eta)
@@ -102,13 +110,14 @@ def initialize_qmc(
         maxiter=maxiter,
         mixed_precision=mixed_precision,
         force_dtype=force_dtype,
+        refresh_precond_global=refresh_precond_global,
     )
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     x0 = jnp.asarray(elph.x)
     precond = None
     if use_preconditioner:
-        kind = preconditioner or "spectral"
+        kind = preconditioner or "auto"
         fdm = make_fdm(ctx, x0)
         precond = build_preconditioner(kind, fdm, sub)
     state = QMCState(x=x0, key=key, precond=precond)

@@ -64,7 +64,7 @@ def _metropolis_core(
     S_old = Sf_old + Sb_old
 
     fdm_new = make_fdm(ctx, x_new)
-    if precond is not None:
+    if precond is not None and ctx.refresh_precond_global:
         precond = refresh_preconditioner(precond, fdm_new, k_pre)
     res = fermionic_action(
         Phi, elph, fdm_new, x_new, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
