@@ -212,9 +212,18 @@ def measure_ssh_energy(
     hf_im = -jnp.mean(GRr[..., s_i] * Rci[..., s_f] + GRi[..., s_i] * Rcr[..., s_f], axis=0)
     hr_re = -jnp.mean(GRr[..., s_f] * Rcr[..., s_i] - GRi[..., s_f] * Rci[..., s_i], axis=0)
     hr_im = -jnp.mean(GRr[..., s_f] * Rci[..., s_i] + GRi[..., s_f] * Rcr[..., s_i], axis=0)
-    # c hf + conj(c) hr, real couplings
+    # c hf + conj(c) hr (complex coupling constants carry c_im)
     e_re = jnp.sum(c * (hf_re.T + hr_re.T))
     e_im = jnp.sum(c * (hf_im.T + hr_im.T))
+    if elph.ssh_alpha_im is not None:
+        c_im = (
+            elph.ssh_alpha_im[sl][:, None] * dx
+            + elph.ssh_alpha2_im[sl][:, None] * dx**2
+            + elph.ssh_alpha3_im[sl][:, None] * dx**3
+            + elph.ssh_alpha4_im[sl][:, None] * dx**4
+        )
+        e_re = e_re + jnp.sum(c_im * (hr_im.T - hf_im.T))
+        e_im = e_im + jnp.sum(c_im * (hf_re.T - hr_re.T))
     norm = nc * est.Ltau
     return e_re / norm, e_im / norm
 

@@ -203,11 +203,17 @@ class ElectronPhononParameters:
     hol_alpha2: jnp.ndarray
     hol_alpha3: jnp.ndarray
     hol_alpha4: jnp.ndarray
-    # ssh couplings (n_ssh,), possibly complex
+    # ssh couplings (n_ssh,); complex coupling constants carry their imaginary
+    # parts in the *_im leaves (None for real models), mirroring the package-wide
+    # (re, im) real-pair convention
     ssh_alpha: jnp.ndarray
     ssh_alpha2: jnp.ndarray
     ssh_alpha3: jnp.ndarray
     ssh_alpha4: jnp.ndarray
+    ssh_alpha_im: "jnp.ndarray | None"
+    ssh_alpha2_im: "jnp.ndarray | None"
+    ssh_alpha3_im: "jnp.ndarray | None"
+    ssh_alpha4_im: "jnp.ndarray | None"
     # dispersion couplings (n_dispersion,)
     disp_Omega: jnp.ndarray
     disp_Omega4: jnp.ndarray
@@ -309,16 +315,14 @@ def initialize_electron_phonon_parameters(
     ssh_alpha, ssh_alpha2, ssh_alpha3, ssh_alpha4 = [], [], [], []
     ssh_to_phonon_i, ssh_to_phonon_f, ssh_to_hop = [], [], []
     any_complex_ssh = any(
-        isinstance(v, complex) and v.imag != 0
+        complex(v).imag != 0
         for sc in sshs
         for v in (sc.alpha_mean, sc.alpha2_mean, sc.alpha3_mean, sc.alpha4_mean)
     )
-    if any_complex_ssh:
-        raise NotImplementedError(
-            "complex SSH coupling constants are not supported yet (complex static "
-            "hoppings t ARE supported; SSH dressing must stay real)."
-        )
-    ssh_dtype = np.float64
+    # complex coupling constants (e.g. flux-threaded SSH models): expand in
+    # complex128, split into (re, im) leaves below; disorder noise perturbs the
+    # real part
+    ssh_dtype = np.complex128 if any_complex_ssh else np.float64
     for sc in sshs:
         bond_type = tbm.t_bonds.index(sc.bond)
         start, stop = tight_binding_parameters.bond_slices[bond_type]
@@ -376,10 +380,14 @@ def initialize_electron_phonon_parameters(
         hol_alpha2=jnp.asarray(_cat(hol_alpha2)),
         hol_alpha3=jnp.asarray(_cat(hol_alpha3)),
         hol_alpha4=jnp.asarray(_cat(hol_alpha4)),
-        ssh_alpha=jnp.asarray(_cat(ssh_alpha, ssh_dtype)),
-        ssh_alpha2=jnp.asarray(_cat(ssh_alpha2, ssh_dtype)),
-        ssh_alpha3=jnp.asarray(_cat(ssh_alpha3, ssh_dtype)),
-        ssh_alpha4=jnp.asarray(_cat(ssh_alpha4, ssh_dtype)),
+        ssh_alpha=jnp.asarray(_cat(ssh_alpha, ssh_dtype).real.copy()),
+        ssh_alpha2=jnp.asarray(_cat(ssh_alpha2, ssh_dtype).real.copy()),
+        ssh_alpha3=jnp.asarray(_cat(ssh_alpha3, ssh_dtype).real.copy()),
+        ssh_alpha4=jnp.asarray(_cat(ssh_alpha4, ssh_dtype).real.copy()),
+        ssh_alpha_im=jnp.asarray(_cat(ssh_alpha, ssh_dtype).imag.copy()) if any_complex_ssh else None,
+        ssh_alpha2_im=jnp.asarray(_cat(ssh_alpha2, ssh_dtype).imag.copy()) if any_complex_ssh else None,
+        ssh_alpha3_im=jnp.asarray(_cat(ssh_alpha3, ssh_dtype).imag.copy()) if any_complex_ssh else None,
+        ssh_alpha4_im=jnp.asarray(_cat(ssh_alpha4, ssh_dtype).imag.copy()) if any_complex_ssh else None,
         disp_Omega=jnp.asarray(_cat(disp_Omega)),
         disp_Omega4=jnp.asarray(_cat(disp_Omega4)),
         beta=float(beta),

@@ -52,15 +52,25 @@ def holstein_potential(elph: ElectronPhononParameters, x: jnp.ndarray) -> jnp.nd
     return vals  # caller scatters
 
 
-def ssh_hopping_shift(elph: ElectronPhononParameters, x: jnp.ndarray) -> jnp.ndarray:
-    """(n_ssh, Ltau) SSH contribution  sum_k alpha_k (x_f - x_i)^k  per coupling."""
+def ssh_hopping_shift(elph: ElectronPhononParameters, x: jnp.ndarray):
+    """(n_ssh, Ltau) SSH contribution  sum_k alpha_k (x_f - x_i)^k  per coupling,
+    as an (re, im-or-None) pair (complex coupling constants supported)."""
     dx = x[elph.ssh_to_phonon[1], :] - x[elph.ssh_to_phonon[0], :]  # (n_ssh, Ltau)
-    return (
+    re = (
         elph.ssh_alpha[:, None] * dx
         + elph.ssh_alpha2[:, None] * dx**2
         + elph.ssh_alpha3[:, None] * dx**3
         + elph.ssh_alpha4[:, None] * dx**4
     )
+    if elph.ssh_alpha_im is None:
+        return re, None
+    im = (
+        elph.ssh_alpha_im[:, None] * dx
+        + elph.ssh_alpha2_im[:, None] * dx**2
+        + elph.ssh_alpha3_im[:, None] * dx**3
+        + elph.ssh_alpha4_im[:, None] * dx**4
+    )
+    return re, im
 
 
 def build_path_integral(
@@ -86,12 +96,21 @@ def build_path_integral(
         V = V + V_sc.T
 
     t = jnp.broadcast_to(tbp.t0[None, :], (Ltau, tbp.n_hops))
-    if elph.n_ssh > 0:
-        shift = ssh_hopping_shift(elph, x)  # (n_ssh, Ltau)
-        t_sc = jnp.zeros((tbp.n_hops, Ltau), dtype=shift.dtype).at[elph.ssh_to_hop].add(shift)
-        t = t - t_sc.T
     t_im = None
     if tbp.t0_im is not None:
         t_im = jnp.broadcast_to(tbp.t0_im[None, :], (Ltau, tbp.n_hops))
+    if elph.n_ssh > 0:
+        shift_re, shift_im = ssh_hopping_shift(elph, x)  # (n_ssh, Ltau) pair
+        t_sc = jnp.zeros((tbp.n_hops, Ltau), dtype=shift_re.dtype).at[elph.ssh_to_hop].add(shift_re)
+        t = t - t_sc.T
+        if shift_im is not None:
+            t_sc_im = (
+                jnp.zeros((tbp.n_hops, Ltau), dtype=shift_im.dtype)
+                .at[elph.ssh_to_hop]
+                .add(shift_im)
+            )
+            if t_im is None:
+                t_im = jnp.zeros((Ltau, tbp.n_hops))
+            t_im = t_im - t_sc_im.T
 
     return FermionPathIntegral(V=V, t=t, t_im=t_im, dtau=elph.dtau, Ltau=Ltau, n_sites=n_sites)

@@ -36,6 +36,7 @@ class ForcePlan:
     ssh_by_color: Tuple[np.ndarray, ...]  # coupling indices per color
     site_i: Tuple[np.ndarray, ...]
     site_j: Tuple[np.ndarray, ...]
+    hop_idx: Tuple[np.ndarray, ...]  # hop column per coupling (complex-t force path)
     phonon_i: Tuple[np.ndarray, ...]
     phonon_f: Tuple[np.ndarray, ...]
     finite_i: Tuple[np.ndarray, ...]
@@ -51,11 +52,13 @@ def build_force_plan(
     for c, (start, stop) in enumerate(structure.color_slices):
         color_of_hop[structure.perm[start:stop]] = c
     frozen = elph.frozen_mask
-    ssh_by_color, site_i, site_j, phonon_i, phonon_f, finite_i, finite_f = [], [], [], [], [], [], []
+    ssh_by_color, site_i, site_j, hop_idx = [], [], [], []
+    phonon_i, phonon_f, finite_i, finite_f = [], [], [], []
     for c in range(n_colors):
         idx = np.where(color_of_hop[elph.ssh_to_hop] == c)[0] if elph.n_ssh else np.zeros(0, np.int64)
         ssh_by_color.append(idx.astype(np.int32))
         hops = elph.ssh_to_hop[idx]
+        hop_idx.append(hops.astype(np.int32))
         site_i.append(structure.neighbor_table[0, hops].astype(np.int32))
         site_j.append(structure.neighbor_table[1, hops].astype(np.int32))
         p_i = elph.ssh_to_phonon[0, idx]
@@ -71,6 +74,7 @@ def build_force_plan(
         ssh_by_color=tuple(ssh_by_color),
         site_i=tuple(site_i),
         site_j=tuple(site_j),
+        hop_idx=tuple(hop_idx),
         phonon_i=tuple(phonon_i),
         phonon_f=tuple(phonon_f),
         finite_i=tuple(finite_i),
@@ -84,6 +88,7 @@ def _add_ssh_color_force(
     nu: float,
     up: jnp.ndarray,
     vp: jnp.ndarray,
+    fdm: FermionDetMatrix,
     elph: ElectronPhononParameters,
     x: jnp.ndarray,
     plan: ForcePlan,
@@ -91,7 +96,22 @@ def _add_ssh_color_force(
     color: int,
 ) -> jnp.ndarray:
     """SSH kinetic-derivative contribution of one checkerboard color
-    (_mul_nuRe_dtau_dKc_dx!, fermion_det_matrix_dervative.jl:196-254)."""
+    (_mul_nuRe_dtau_dKc_dx!, fermion_det_matrix_dervative.jl:196-254).
+
+    For REAL hoppings the inserted operator is exactly dE_c E_c^{-1}
+    = dtau_eff * (dt/dx) * H0 (H0 = offdiag ones), the reference's recipe. For
+    COMPLEX hoppings (complex static t and/or complex SSH coupling constants)
+    dK_c no longer commutes with K_c inside a 2x2 hop block, so the exact block
+    derivative is used instead: with t = |t| e^{i theta}, t_hat = t/|t|,
+    c = cosh(dtau_eff |t|), s = sinh(dtau_eff |t|),
+
+      dE E^{-1} = dtau_eff |t|' H + i theta' (s c G + s^2 Z),
+      H = [[0, conj(t_hat)], [t_hat, 0]],  G = [[0, -conj(t_hat)], [t_hat, 0]],
+      Z = diag(+1_i, -1_j),   |t|' = Re(conj(t_hat) dt/dx),
+      theta' = Im(conj(t_hat) dt/dx) / |t|
+
+    (the reference never needs this: its hoppings are real,
+    checkerboard_matrix_multiply.jl). Validated by central differences."""
     idx = plan.ssh_by_color[color]
     if idx.size == 0:
         return force
@@ -101,15 +121,65 @@ def _add_ssh_color_force(
     pf = plan.phonon_f[color]
     idx_j = jnp.asarray(idx)
     dx = x[pf, :] - x[p, :]  # (n_c, Ltau)
-    dK = dtau_eff * (
+    # g = -dt/dx = d(coupling polynomial)/d(dx), complex in general
+    g_re = (
         elph.ssh_alpha[idx_j][:, None]
         + 2.0 * elph.ssh_alpha2[idx_j][:, None] * dx
         + 3.0 * elph.ssh_alpha3[idx_j][:, None] * dx**2
         + 4.0 * elph.ssh_alpha4[idx_j][:, None] * dx**3
     )  # (n_c, Ltau)
-    # Re( conj(up[l,j]) dK v'[l,i] + conj(up[l,i]) dK v'[l,j] ) for real dK
-    prod = jnp.sum(up[..., j] * vp[..., i] + up[..., i] * vp[..., j], axis=0)  # (Ltau, n_c)
-    val = nu * dK * prod.T  # (n_c, Ltau)
+
+    if fdm.sinh_hop_im is None:
+        # real fast path: dE E^{-1} = -dtau_eff g H0 exactly
+        prod = jnp.sum(up[..., j] * vp[..., i] + up[..., i] * vp[..., j], axis=0)  # (Ltau, n_c)
+        val = nu * dtau_eff * g_re * prod.T  # (n_c, Ltau)
+    else:
+        if elph.ssh_alpha_im is not None:
+            g_im = (
+                elph.ssh_alpha_im[idx_j][:, None]
+                + 2.0 * elph.ssh_alpha2_im[idx_j][:, None] * dx
+                + 3.0 * elph.ssh_alpha3_im[idx_j][:, None] * dx**2
+                + 4.0 * elph.ssh_alpha4_im[idx_j][:, None] * dx**3
+            )
+        else:
+            g_im = jnp.zeros_like(g_re)
+        hops = jnp.asarray(plan.hop_idx[color])
+        # factor data at this factorization's dtau_eff: s t_hat = sinh - i sinh_im
+        sh_re = fdm.sinh_hop[:, hops].T  # (n_c, Ltau)
+        sh_im = fdm.sinh_hop_im[:, hops].T
+        c = fdm.cosh_hop[:, hops].T
+        s = jnp.sqrt(sh_re**2 + sh_im**2)
+        s_safe = jnp.where(s > 0, s, 1.0)
+        a_re = sh_re / s_safe  # t_hat (1 when the hop amplitude vanishes)
+        a_im = -sh_im / s_safe
+        abs_t = jnp.arcsinh(s) / dtau_eff
+        abs_t_safe = jnp.where(abs_t > 0, abs_t, 1.0)
+        dabs = -(a_re * g_re + a_im * g_im)  # |t|' = Re(conj(t_hat) (-g))
+        dtheta = -(a_re * g_im - a_im * g_re) / abs_t_safe  # theta'
+        dtheta = jnp.where(abs_t > 0, dtheta, 0.0)
+
+        u_re, u_im = up[0], up[1]
+        v_re, v_im = vp[0], vp[1]
+
+        def cprod(a, b):  # conj(u_a) v_b as (re, im) of shape (n_c, Ltau)
+            re = (u_re[..., a] * v_re[..., b] + u_im[..., a] * v_im[..., b]).T
+            im = (u_re[..., a] * v_im[..., b] - u_im[..., a] * v_re[..., b]).T
+            return re, im
+
+        Pji_re, Pji_im = cprod(j, i)
+        Pij_re, Pij_im = cprod(i, j)
+        Dii_re, Dii_im = cprod(i, i)
+        Djj_re, Djj_im = cprod(j, j)
+
+        # Re <u| dE E^{-1} |v> assembled from the three block terms
+        term1 = dtau_eff * dabs * (
+            a_re * (Pji_re + Pij_re) - a_im * (Pji_im - Pij_im)
+        )
+        term2 = -dtheta * s * c * (
+            a_re * (Pji_im - Pij_im) + a_im * (Pji_re + Pij_re)
+        )
+        term3 = -dtheta * s**2 * (Dii_im - Djj_im)
+        val = -nu * (term1 + term2 + term3)
     force = force.at[p].add(-val * jnp.asarray(plan.finite_i[color], dtype=val.dtype)[:, None])
     force = force.at[pf].add(val * jnp.asarray(plan.finite_f[color], dtype=val.dtype)[:, None])
     return force
@@ -170,7 +240,7 @@ def add_M_derivative_force(
         # term 1: d(exp(-dtau K/2)) on the left factor — walk colors in reverse
         if elph.n_ssh > 0:
             for color in reversed(range(n_colors)):
-                force = _add_ssh_color_force(force, -nu, up, vp, elph, x, plan, dtau / 2, color)
+                force = _add_ssh_color_force(force, -nu, up, vp, fdm, elph, x, plan, dtau / 2, color)
                 up = cb.apply_color(up, color)
                 vp = cb.apply_color(vp, color, inverse=True)
         else:
@@ -190,7 +260,7 @@ def add_M_derivative_force(
         # term 3: d(exp(-dtau K/2)^T) on the right factor — walk colors forward
         if elph.n_ssh > 0:
             for color in range(n_colors):
-                force = _add_ssh_color_force(force, -nu, up, vp, elph, x, plan, dtau / 2, color)
+                force = _add_ssh_color_force(force, -nu, up, vp, fdm, elph, x, plan, dtau / 2, color)
                 up = cb.apply_color(up, color)
                 vp = cb.apply_color(vp, color, inverse=True)
     else:
@@ -201,7 +271,7 @@ def add_M_derivative_force(
             up = up * fdm.exp_nV
             vp = vp / fdm.exp_nV
             for color in reversed(range(n_colors)):
-                force = _add_ssh_color_force(force, -nu, up, vp, elph, x, plan, dtau, color)
+                force = _add_ssh_color_force(force, -nu, up, vp, fdm, elph, x, plan, dtau, color)
                 up = cb.apply_color(up, color)
                 vp = cb.apply_color(vp, color, inverse=True)
     return force
