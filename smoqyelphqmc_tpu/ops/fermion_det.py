@@ -202,8 +202,14 @@ def solve_MtM(
     tol: float = 1e-10,
     maxiter: int = 1000,
     mixed: bool = False,
+    x0=None,
 ):
-    """[M^T M]^{-1} rhs via batched (optionally mixed-precision) preconditioned CG."""
+    """[M^T M]^{-1} rhs via batched (optionally mixed-precision) preconditioned CG.
+
+    x0 warm-starts the Krylov iteration — along an HMC trajectory consecutive
+    solves share Phi and differ by one leapfrog drift of x, so the previous
+    solution is an excellent initial guess (iteration counts drop several-fold;
+    statistically free since CG still converges to tol)."""
     from .cg import cg_solve, cg_solve_mixed
 
     pre_op = precond.as_operator() if precond is not None else None
@@ -216,7 +222,9 @@ def solve_MtM(
             fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter,
             sys_ndim=sys_ndim,
         )
-    return cg_solve(fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter, sys_ndim=sys_ndim)
+    return cg_solve(
+        fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter, sys_ndim=sys_ndim, x0=x0
+    )
 
 
 # ----------------------------------------------------------------------

@@ -34,6 +34,7 @@ class ActionResult(NamedTuple):
     Sf: jnp.ndarray  # real part of the fermionic action
     Sf_imag: jnp.ndarray  # imaginary part (sanity diagnostic, PFFCalculator.jl:110-112)
     psi: jnp.ndarray  # (2, Ltau, N) solution Lambda^{-1} [M^T M]^{-1} Lambda^{-T} Phi
+    psi_raw: jnp.ndarray  # pre-Lambda CG solution [M^T M]^{-1} Lambda^{-T} Phi (warm starts)
     stats: CGStats
 
 
@@ -61,24 +62,29 @@ def fermionic_action(
     tol: float = 1e-10,
     maxiter: int = 1000,
     mixed: bool = False,
+    warm_start: Optional[jnp.ndarray] = None,
 ) -> ActionResult:
     """S_f = Phi^dag Lambda^{-1} [M^T M]^{-1} Lambda^{-T} Phi — one CG solve
-    (calculate_fermionic_action!, PFFCalculator.jl:79-116)."""
+    (calculate_fermionic_action!, PFFCalculator.jl:79-116). `warm_start` is the
+    previous solve's psi_raw for trajectory-consecutive systems."""
     from .fermion_det import solve_MtM
 
     Lam = build_lambda(elph, x, fdm.n_sites)
     rhs = ldiv_lambda_T(Lam, Phi)
-    psi, stats = solve_MtM(fdm, rhs, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
-    psi = ldiv_lambda(Lam, psi)
+    psi_raw, stats = solve_MtM(
+        fdm, rhs, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed, x0=warm_start
+    )
+    psi = ldiv_lambda(Lam, psi_raw)
     # complex dot Phi^dag psi: Re = sum_ch Phi.psi ; Im = Phi_re.psi_im - Phi_im.psi_re
     Sf = jnp.sum(Phi * psi)
     Sf_im = jnp.sum(Phi[0] * psi[1] - Phi[1] * psi[0])
-    return ActionResult(Sf=Sf, Sf_imag=Sf_im, psi=psi, stats=stats)
+    return ActionResult(Sf=Sf, Sf_imag=Sf_im, psi=psi, psi_raw=psi_raw, stats=stats)
 
 
 class ForceResult(NamedTuple):
     Sf: jnp.ndarray
     force: jnp.ndarray  # (n_phonon, Ltau) dS_f/dx
+    psi_raw: jnp.ndarray  # pre-Lambda CG solution (warm start for the next step)
     stats: CGStats
 
 
@@ -93,6 +99,7 @@ def fermionic_action_and_force(
     maxiter: int = 1000,
     mixed: bool = False,
     solve_dtype: str = "float64",
+    warm_start: Optional[jnp.ndarray] = None,
 ) -> ForceResult:
     """dS_f/dx = -2 Re([A psi]^T [dM/dx][Lambda psi]) - 2 Re([M^T A psi]^T [dLambda/dx][psi]),
     A = M Lambda (calculate_derivative_fermionic_action!, PFFCalculator.jl:119-158).
@@ -115,7 +122,12 @@ def fermionic_action_and_force(
         fdm = fdm.astype(dt)
         Phi = Phi.astype(dt)
         x = x.astype(dt)
-    res = fermionic_action(Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
+        if warm_start is not None:
+            warm_start = warm_start.astype(dt)
+    res = fermionic_action(
+        Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed,
+        warm_start=warm_start,
+    )
     Lam = build_lambda(elph, x, fdm.n_sites)
     lam_psi = mul_lambda(Lam, res.psi)
     A_psi = fdm.mul_M(lam_psi)
@@ -123,4 +135,6 @@ def fermionic_action_and_force(
     force = add_M_derivative_force(force, -2.0, A_psi, lam_psi, fdm, elph, x, plan)
     Mt_A_psi = fdm.mul_Mt(A_psi)
     force = add_lambda_derivative_force(force, -2.0, Mt_A_psi, res.psi, Lam, elph, x)
-    return ForceResult(Sf=res.Sf, force=force.astype(jnp.float64), stats=res.stats)
+    return ForceResult(
+        Sf=res.Sf, force=force.astype(jnp.float64), psi_raw=res.psi_raw, stats=res.stats
+    )

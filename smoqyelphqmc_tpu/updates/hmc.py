@@ -36,6 +36,10 @@ class HMCParams:
     # per solve) or only once per trajectory (cheaper when the refresh involves
     # an eigendecomposition; the tau-averaged propagator drifts slowly)
     refresh_precond_every_step: bool = static_field(default=False)
+    # skip even the trajectory-start refresh and reuse the carried preconditioner
+    # (driver-level cadence control: staleness affects only CG iteration count,
+    # never the sampled distribution)
+    refresh_precond_at_start: bool = static_field(default=True)
 
     def timestep(self) -> float:
         import math
@@ -70,7 +74,7 @@ def hmc_update(
     x0 = state.x
     fdm0 = make_fdm(ctx, x0)
     precond = state.precond
-    if precond is not None:
+    if precond is not None and params.refresh_precond_at_start:
         precond = refresh_preconditioner(precond, fdm0, k_pre0)
 
     Phi, Sf0 = sample_pseudofermion_fields(k_phi, elph, fdm0, x0)
@@ -82,8 +86,17 @@ def hmc_update(
     x, p = efa.evolve(x0, p, dt / 2.0)
     x = recenter(x)
 
+    # warm-start carry: consecutive trajectory solves share Phi and differ by
+    # one leapfrog drift of x, so each solve starts from the previous solution
+    # (iteration counts drop several-fold; CG still converges to tol, so the
+    # sampled distribution is untouched)
+    psi_warm = jnp.zeros(
+        (2, elph.Ltau, ctx.n_sites),
+        dtype=jnp.dtype(ctx.force_dtype),
+    )
+
     def step(carry, t):
-        x, p, precond, iters_sum, ok = carry
+        x, p, precond, psi_warm, iters_sum, ok = carry
         fdm = make_fdm(ctx, x)
         k_pre = jax.random.fold_in(k_pre0, t + 1)
         if precond is not None and params.refresh_precond_every_step:
@@ -92,7 +105,9 @@ def hmc_update(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
             mixed=ctx.mixed_precision, solve_dtype=ctx.force_dtype,
+            warm_start=psi_warm,
         )
+        psi_warm = res.psi_raw.astype(psi_warm.dtype)
         force = res.force
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
@@ -102,21 +117,22 @@ def hmc_update(
         x, p = efa.evolve(x, p, dt_drift)
         x = recenter(x)
         iters_sum = iters_sum + res.stats.iters
-        return (x, p, precond, iters_sum, ok), None
+        return (x, p, precond, psi_warm, iters_sum, ok), None
 
-    (x, p, precond, iters_sum, ok), _ = lax.scan(
+    (x, p, precond, psi_warm, iters_sum, ok), _ = lax.scan(
         step,
-        (x, p, precond, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+        (x, p, precond, psi_warm, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
         jnp.arange(Nt),
     )
 
-    # final action
+    # final action (warm-started from the last force solve: same Phi, x one
+    # half-drift away; the f64 endpoint solve still converges to ctx.tol)
     fdm1 = make_fdm(ctx, x)
     if precond is not None and params.refresh_precond_every_step:
         precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
     res1 = fermionic_action(
         Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
-        mixed=ctx.mixed_precision,
+        mixed=ctx.mixed_precision, warm_start=psi_warm.astype(jnp.float64),
     )
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)

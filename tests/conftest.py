@@ -16,6 +16,13 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; an explicit config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite re-traces many identical programs
+# across test files; caching compiled executables across runs (and across tests
+# in one run) cuts wall time substantially.
+jax.config.update("jax_compilation_cache_dir", "/tmp/smoqy_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

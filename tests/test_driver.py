@@ -69,6 +69,7 @@ def test_driver_ssh_chain(tmp_path):
     assert os.path.exists(os.path.join(sim_info.datafolder, "stats.h5"))
 
 
+@pytest.mark.slow
 def test_driver_density_tuning(tmp_path):
     sim_info, meta = _run(
         tmp_path,

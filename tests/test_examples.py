@@ -10,6 +10,10 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
+# every test here runs a full (tiny) simulation end-to-end; excluded from the
+# fast CI gate (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     sID=1, Omega=1.0, alpha=0.4, mu=0.0, beta=0.4,
     N_therm=1, N_measurements=2, N_bins=2, dtau=0.1, Nt=2, Nrv=3, tol=1e-7,

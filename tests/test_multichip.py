@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from smoqyelphqmc_tpu.parallel.walkers import (
     init_walker_states,
@@ -61,6 +62,7 @@ def test_graft_entry():
     mod.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_driver_n_walkers(tmp_path):
     import os
 
@@ -91,6 +93,7 @@ def test_driver_n_walkers(tmp_path):
     assert pids == {"0", "1"}
 
 
+@pytest.mark.slow
 def test_driver_n_walkers_with_mu_tuning(tmp_path):
     import os
 
