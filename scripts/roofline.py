@@ -43,7 +43,8 @@ def main():
         v = jnp.asarray(
             np.random.default_rng(0).standard_normal((batch, Ltau, N)), dtype=dtype
         )
-        fn = jax.jit(fdm.mul_MtM)
+        fdm_dt = fdm.astype(dtype)
+        fn = jax.jit(fdm_dt.mul_MtM)
         lowered = fn.lower(v)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()
@@ -58,7 +59,7 @@ def main():
         @jax.jit
         def loop(v):
             def body(_, v):
-                v = fdm.mul_MtM(v)
+                v = fdm_dt.mul_MtM(v)
                 return v / jnp.sqrt(jnp.mean(v * v))
 
             return lax.fori_loop(0, n_iters, body, v)

@@ -115,3 +115,9 @@ def test_driver_n_walkers_with_mu_tuning(tmp_path):
     assert len(meta["final_mu_per_walker"]) == 2
     assert all(np.isfinite(v) for v in meta["final_mu_per_walker"])
     assert os.path.exists(os.path.join(sim_info.datafolder, "stats.h5"))
+    # per-walker density-tuning profiles (save_density_tuning_profile per pID)
+    for w in (0, 1):
+        path = os.path.join(sim_info.datafolder, f"density_tuning_profile_pID-{w}.csv")
+        assert os.path.exists(path), path
+        with open(path) as f:
+            assert len(f.read().strip().splitlines()) >= 2
