@@ -93,6 +93,7 @@ def bench_sweeps(n_sweeps=3, Nt=24):
     """Full QMC sweeps (reflection + swap + EFA-PFF-HMC) per second, plus the
     average CG iterations per solve inside the HMC trajectory."""
     import jax
+    import jax.numpy as jnp
 
     from smoqyelphqmc_tpu.updates.global_updates import reflection_update, swap_update
     from smoqyelphqmc_tpu.updates.hmc import HMCParams, hmc_update
@@ -110,13 +111,14 @@ def bench_sweeps(n_sweeps=3, Nt=24):
     state, h = sweep(state)
     jax.block_until_ready(state.x)  # compile + warm
     t0 = time.perf_counter()
-    iters = 0.0
+    iters = jnp.asarray(0.0)
     for _ in range(n_sweeps):
         state, h = sweep(state)
-        iters += float(h.iters_avg)
+        # device-side accumulation — the production driver never syncs per sweep
+        iters = iters + h.iters_avg
     jax.block_until_ready(state.x)
     dt = time.perf_counter() - t0
-    return n_sweeps / dt, iters / n_sweeps
+    return n_sweeps / dt, float(iters) / n_sweeps
 
 
 def bench_walker_sweeps(W=8, n_sweeps=2, Nt=24):

@@ -143,6 +143,16 @@ def run_simulation(
     # ------------------------------------------------------------------
     # jitted kernels
     # ------------------------------------------------------------------
+    # per-sweep statistics ride a single device vector so the host loop never
+    # blocks on device->host transfers mid-bin (significant over a tunneled
+    # chip; see BENCH.md). Order: [refl_acc, swap_acc, rad_acc, hmc_acc,
+    # refl_iters, swap_iters, hmc_iters]
+    _STAT_KEYS = (
+        "reflection_acceptance_rate", "swap_acceptance_rate",
+        "radial_acceptance_rate", "hmc_acceptance_rate",
+        "reflection_iters", "swap_iters", "hmc_iters",
+    )
+
     @jax.jit
     def sweep(ctx_, state_: QMCState):
         state_, r_stats = reflection_update(ctx_, state_)
@@ -152,7 +162,16 @@ def run_simulation(
         else:
             rad_stats = r_stats
         state_, h_stats = hmc_update(ctx_, state_, hmc_params, recenter=recenter)
-        return state_, (r_stats, s_stats, rad_stats, h_stats)
+        vec = jnp.stack([
+            r_stats.accepted.astype(jnp.float64),
+            s_stats.accepted.astype(jnp.float64),
+            rad_stats.accepted.astype(jnp.float64),
+            h_stats.accepted.astype(jnp.float64),
+            r_stats.iters.astype(jnp.float64),
+            s_stats.iters.astype(jnp.float64),
+            h_stats.iters_avg,
+        ])
+        return state_, vec
 
     @jax.jit
     def measure_pass(ctx_, state_: QMCState, est_, key):
@@ -189,6 +208,19 @@ def run_simulation(
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
     acc = MeasurementAccumulator(spec)
     key_host = jax.random.PRNGKey(cfg.seed + 7919)
+    sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
+    meas_iters_acc = jnp.asarray(0.0)
+
+    def sync_metadata():
+        """Fold the device accumulators into metadata (host sync point)."""
+        nonlocal sweep_acc, meas_iters_acc
+        vals = np.asarray(sweep_acc)
+        for k, v in zip(_STAT_KEYS, vals):
+            metadata[k] += float(v)
+        metadata["measurement_iters"] += float(np.asarray(meas_iters_acc))
+        sweep_acc = jnp.zeros(len(_STAT_KEYS))
+        meas_iters_acc = jnp.asarray(0.0)
+
     if resume:
         cp = read_checkpoint(sim_info.datafolder, sim_info.pID)
         if cp is not None:
@@ -210,9 +242,12 @@ def run_simulation(
             if s.get("acc_sums") is not None:
                 acc.sums = s["acc_sums"]
                 acc.count = int(s["acc_count"])
+            if s.get("tuning_history"):
+                tuning_history = [tuple(t) for t in s["tuning_history"]]
 
     def maybe_checkpoint():
         nonlocal cp_stamp
+        sync_metadata()
         tree = {
             "x": state.x,
             "key": state.key,
@@ -222,6 +257,7 @@ def run_simulation(
             "metadata": dict(metadata),
             "acc_sums": acc.sums,
             "acc_count": acc.count,
+            "tuning_history": list(tuning_history),
             "tuner": None
             if tuner is None
             else {
@@ -249,20 +285,14 @@ def run_simulation(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        state, (r, s, rad, h) = sweep(ctx, state)
-        metadata["reflection_acceptance_rate"] += float(r.accepted)
-        metadata["swap_acceptance_rate"] += float(s.accepted)
-        metadata["radial_acceptance_rate"] += float(rad.accepted)
-        metadata["hmc_acceptance_rate"] += float(h.accepted)
-        metadata["reflection_iters"] += float(r.iters)
-        metadata["swap_iters"] += float(s.iters)
-        metadata["hmc_iters"] += float(h.iters_avg)
+        state, vec = sweep(ctx, state)
+        sweep_acc = sweep_acc + vec
         if tuner is not None:
             key_host, sub = jax.random.split(key_host)
             est, iters, n, Nsq = tune_pass(ctx, state, est, sub)
             tuner = mu_tuner_update(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
-            tuning_history.append((float(tuner.mu), float(n), float(Nsq)))
+            tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         therm_done += 1
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
@@ -274,22 +304,16 @@ def run_simulation(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        state, (r, s, rad, h) = sweep(ctx, state)
-        metadata["reflection_acceptance_rate"] += float(r.accepted)
-        metadata["swap_acceptance_rate"] += float(s.accepted)
-        metadata["radial_acceptance_rate"] += float(rad.accepted)
-        metadata["hmc_acceptance_rate"] += float(h.accepted)
-        metadata["reflection_iters"] += float(r.iters)
-        metadata["swap_iters"] += float(s.iters)
-        metadata["hmc_iters"] += float(h.iters_avg)
+        state, vec = sweep(ctx, state)
+        sweep_acc = sweep_acc + vec
 
         key_host, sub = jax.random.split(key_host)
         est, out, iters, n, Nsq = measure_pass(ctx, state, est, sub)
-        metadata["measurement_iters"] += float(iters)
+        meas_iters_acc = meas_iters_acc + iters
         if tuner is not None:
             tuner = mu_tuner_update(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
-            tuning_history.append((float(tuner.mu), float(n), float(Nsq)))
+            tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         acc.accumulate(out)
         meas_done += 1
         if meas_done % bin_size == 0:
@@ -304,6 +328,7 @@ def run_simulation(
     # ------------------------------------------------------------------
     # finalize
     # ------------------------------------------------------------------
+    sync_metadata()
     n_updates = cfg.N_therm + cfg.N_measurements
     for k in ("hmc", "reflection", "swap", "radial"):
         metadata[f"{k}_acceptance_rate"] /= max(n_updates, 1)
@@ -385,8 +410,22 @@ def _run_multiwalker(
     from .measure.greens_estimator import update_greens_estimator as _upd_est
     from .measure.scalar import measure_n as _m_n, measure_Nsqrd as _m_N2
 
+    _STAT_KEYS = (
+        "reflection_acceptance_rate", "swap_acceptance_rate",
+        "radial_acceptance_rate", "hmc_acceptance_rate",
+        "reflection_iters", "swap_iters", "hmc_iters",
+    )
+
+    from .parallel.walkers import shared_precond_refresh
+
     @jax.jit
     def sweep(s, mus):
+        # ONE preconditioner refresh per sweep from the walker-mean propagator
+        # (vmapped eigh batches poorly; iteration counts are unchanged — see
+        # parallel/walkers.py:shared_precond_refresh)
+        s = shared_precond_refresh(with_mu(ctx, jnp.mean(mus)), s)
+        hmc_p = hmc_params.replace(refresh_precond_at_start=s.precond is None)
+
         def one(s1, mu):
             c = with_mu(ctx, mu)
             s1, r = reflection_update(c, s1)
@@ -395,10 +434,20 @@ def _run_multiwalker(
                 s1, rad = radial_update(c, s1)
             else:
                 rad = r
-            s1, h = hmc_update(c, s1, hmc_params, recenter=recenter)
-            return s1, (r, sw, rad, h)
+            s1, h = hmc_update(c, s1, hmc_p, recenter=recenter)
+            vec = jnp.stack([
+                r.accepted.astype(jnp.float64),
+                sw.accepted.astype(jnp.float64),
+                rad.accepted.astype(jnp.float64),
+                h.accepted.astype(jnp.float64),
+                r.iters.astype(jnp.float64),
+                sw.iters.astype(jnp.float64),
+                h.iters_avg,
+            ])
+            return s1, vec
 
-        return jax.vmap(one)(s, mus)
+        s, vecs = jax.vmap(one)(s, mus)
+        return s, jnp.mean(vecs, axis=0)  # walker-averaged per-sweep stats
 
     def _refresh_est(s1, key, mu):
         c = with_mu(ctx, mu)
@@ -451,6 +500,17 @@ def _run_multiwalker(
     meas_done = 0
     cp_stamp: Optional[float] = None
     key = jax.random.PRNGKey(cfg.seed + 17)
+    sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
+    meas_iters_acc = jnp.asarray(0.0)
+
+    def sync_metadata():
+        nonlocal sweep_acc, meas_iters_acc
+        vals = np.asarray(sweep_acc)
+        for k, v in zip(_STAT_KEYS, vals):
+            metadata[k] += float(v)
+        metadata["measurement_iters"] += float(np.asarray(meas_iters_acc))
+        sweep_acc = jnp.zeros(len(_STAT_KEYS))
+        meas_iters_acc = jnp.asarray(0.0)
 
     # ------------------------------------------------------------------
     # resume
@@ -479,6 +539,7 @@ def _run_multiwalker(
 
     def maybe_checkpoint():
         nonlocal cp_stamp
+        sync_metadata()
         tree = {
             "x": states.x,
             "key": states.key,
@@ -512,30 +573,21 @@ def _run_multiwalker(
     def out_of_time() -> bool:
         return runtime_exceeded(start_time, cfg.runtime_limit_hours)
 
-    def record_sweep_stats(r, s, rad, h):
-        metadata["reflection_acceptance_rate"] += float(np.mean(np.asarray(r.accepted)))
-        metadata["swap_acceptance_rate"] += float(np.mean(np.asarray(s.accepted)))
-        metadata["radial_acceptance_rate"] += float(np.mean(np.asarray(rad.accepted)))
-        metadata["hmc_acceptance_rate"] += float(np.mean(np.asarray(h.accepted)))
-        metadata["reflection_iters"] += float(np.mean(np.asarray(r.iters)))
-        metadata["swap_iters"] += float(np.mean(np.asarray(s.iters)))
-        metadata["hmc_iters"] += float(np.mean(np.asarray(h.iters_avg)))
-
     # ------------------------------------------------------------------
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        states, (r, s, rad, h) = sweep(states, mu_walkers)
-        record_sweep_stats(r, s, rad, h)
+        states, vec = sweep(states, mu_walkers)
+        sweep_acc = sweep_acc + vec
         if tuners is not None:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, W)
             _, n_w, N2_w = tune(states, keys, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
-            mus, ns, N2s = np.asarray(mu_walkers), np.asarray(n_w), np.asarray(N2_w)
             for w in range(W):
-                tuning_histories[w].append((float(mus[w]), float(ns[w]), float(N2s[w])))
+                # lazy device scalars; forced to host at save/checkpoint time
+                tuning_histories[w].append((mu_walkers[w], n_w[w], N2_w[w]))
         therm_done += 1
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
@@ -547,21 +599,20 @@ def _run_multiwalker(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        states, (r, s, rad, h) = sweep(states, mu_walkers)
-        record_sweep_stats(r, s, rad, h)
+        states, vec = sweep(states, mu_walkers)
+        sweep_acc = sweep_acc + vec
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, W)
         out, iters, n_w, N2_w = measure(states, keys, mu_walkers)
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
-            mus, ns, N2s = np.asarray(mu_walkers), np.asarray(n_w), np.asarray(N2_w)
             for w in range(W):
-                tuning_histories[w].append((float(mus[w]), float(ns[w]), float(N2s[w])))
-        metadata["measurement_iters"] += float(np.mean(np.asarray(iters)))
-        host = jax.tree_util.tree_map(np.asarray, out)
+                tuning_histories[w].append((mu_walkers[w], n_w[w], N2_w[w]))
+        meas_iters_acc = meas_iters_acc + jnp.mean(iters)
         for w in range(W):
-            accs[w].accumulate(jax.tree_util.tree_map(lambda a, w=w: a[w], host))
+            # per-walker device-side slices accumulate lazily (no host sync)
+            accs[w].accumulate(jax.tree_util.tree_map(lambda a, w=w: a[w], out))
         meas_done += 1
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
@@ -578,6 +629,7 @@ def _run_multiwalker(
     # ------------------------------------------------------------------
     # finalize
     # ------------------------------------------------------------------
+    sync_metadata()
     n_updates = cfg.N_therm + cfg.N_measurements
     for k in ("hmc", "reflection", "swap", "radial"):
         metadata[f"{k}_acceptance_rate"] /= max(n_updates, 1)

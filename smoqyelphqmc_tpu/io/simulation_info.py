@@ -231,9 +231,15 @@ def save_density_tuning_profile(sim_info: SimulationInfo, history) -> str:
     """Write the chemical-potential tuning trajectory (save_density_tuning_profile,
     /root/reference/tutorials/holstein_honeycomb_density_tuning.jl:677): one row
     per tuner update with (step, mu, n, Nsqrd)."""
+    import numpy as np
+
     path = os.path.join(sim_info.datafolder, f"density_tuning_profile_pID-{sim_info.pID}.csv")
     with open(path, "w") as f:
         f.write("step mu n Nsqrd\n")
         for k, (mu, n, N2) in enumerate(history):
-            f.write(f"{k} {mu!r} {n!r} {N2!r}\n")
+            # entries may be lazy device scalars; force to host floats here
+            f.write(
+                f"{k} {float(np.asarray(mu))!r} {float(np.asarray(n))!r} "
+                f"{float(np.asarray(N2))!r}\n"
+            )
     return path

@@ -386,7 +386,12 @@ def compose_composite(coefficients, stack: np.ndarray, pairs_axis: int) -> np.nd
 
 class MeasurementAccumulator:
     """Accumulates jitted measurement pytrees into bin averages (the role of
-    SmoQyDQMC's container dicts + write_measurements! bin logic)."""
+    SmoQyDQMC's container dicts + write_measurements! bin logic).
+
+    Accumulation stays ON DEVICE (lazy jax adds): forcing the measurement tree
+    to host every sweep would serialize the driver loop on device->host
+    transfers (significant over a tunneled chip). Host conversion happens once
+    per bin in finalize_bin (and at checkpoint time via np.asarray)."""
 
     def __init__(self, spec: MeasurementSpec):
         self.spec = spec
@@ -396,19 +401,18 @@ class MeasurementAccumulator:
     def accumulate(self, result) -> None:
         import jax
 
-        host = jax.tree_util.tree_map(lambda a: np.asarray(a), result)
         if self.sums is None:
-            self.sums = host
+            self.sums = result
         else:
-            self.sums = jax.tree_util.tree_map(lambda s, h: s + h, self.sums, host)
+            self.sums = jax.tree_util.tree_map(lambda s, h: s + h, self.sums, result)
         self.count += 1
 
     def finalize_bin(self):
-        """Return the bin-averaged pytree and reset."""
+        """Return the bin-averaged pytree (NumPy, host) and reset."""
         import jax
 
         assert self.count > 0, "empty bin"
-        avg = jax.tree_util.tree_map(lambda s: s / self.count, self.sums)
+        avg = jax.tree_util.tree_map(lambda s: np.asarray(s) / self.count, self.sums)
         self.sums = None
         self.count = 0
         return avg

@@ -61,10 +61,41 @@ def shard_walker_states(states: QMCState, mesh: Mesh) -> QMCState:
     return jax.tree_util.tree_map(put, states)
 
 
+def shared_precond_refresh(ctx: QMCContext, states: QMCState) -> QMCState:
+    """Refresh the carried preconditioner ONCE from the WALKER-MEAN propagator
+    factors and broadcast it to every walker.
+
+    A batched (vmapped) eigh serializes poorly on TPU (BENCH.md: 45 ms at W=8
+    vs 14 ms for one), while the tau-averaged Bbar differs across equilibrated
+    walkers by the same order as the tau fluctuations it already averages over
+    — measured CG iteration counts are IDENTICAL (13.6 vs 13.7) with the shared
+    preconditioner, at 1/W the refresh cost. Preconditioner quality only
+    affects iteration count, never the sampled distribution."""
+    if states.precond is None:
+        return states
+    from ..updates.context import make_fdm as _make_fdm
+
+    fdms = jax.vmap(lambda x: _make_fdm(ctx, x))(states.x)
+    fdm_mean = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), fdms)
+    template = jax.tree_util.tree_map(lambda a: a[0], states.precond)
+    from ..ops.preconditioner import refresh_preconditioner
+
+    pre = refresh_preconditioner(template, fdm_mean, states.key[0])
+    W = states.x.shape[0]
+    pre_w = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a[None], (W,) + a.shape), pre)
+    return QMCState(x=states.x, key=states.key, precond=pre_w)
+
+
 def walker_sweep(
-    ctx: QMCContext, states: QMCState, hmc_params: HMCParams, recenter=None
+    ctx: QMCContext, states: QMCState, hmc_params: HMCParams, recenter=None,
+    shared_precond: bool = True,
 ):
-    """One (reflection + swap + HMC) sweep for every walker."""
+    """One (reflection + swap + HMC) sweep for every walker. With
+    shared_precond (default) the preconditioner refresh happens once per sweep
+    from the walker-mean propagator instead of per walker inside hmc_update."""
+    if shared_precond and states.precond is not None:
+        states = shared_precond_refresh(ctx, states)
+        hmc_params = hmc_params.replace(refresh_precond_at_start=False)
 
     def one(state):
         state, r = reflection_update(ctx, state)
