@@ -116,6 +116,7 @@ def run_simulation(
 
     tuner: Optional[MuTunerState] = None
     tuning_history = []
+    tune_step = jax.jit(mu_tuner_update)  # one dispatch per update, not one per op
     if cfg.target_density is not None:
         tuner = init_mu_tuner(
             cfg.target_density, cfg.beta, tbp.n_sites, float(np.asarray(tbp.mu))
@@ -154,7 +155,7 @@ def run_simulation(
     )
 
     @jax.jit
-    def sweep(ctx_, state_: QMCState):
+    def sweep(ctx_, state_: QMCState, acc_vec):
         state_, r_stats = reflection_update(ctx_, state_)
         state_, s_stats = swap_update(ctx_, state_)
         if cfg.use_radial_updates:
@@ -171,30 +172,36 @@ def run_simulation(
             s_stats.iters.astype(jnp.float64),
             h_stats.iters_avg,
         ])
-        return state_, vec
+        # accumulate inside the jit — an eager per-sweep add costs a dispatch
+        # roundtrip over a tunneled device
+        return state_, acc_vec + vec
 
     @jax.jit
-    def measure_pass(ctx_, state_: QMCState, est_, key):
+    def measure_pass(ctx_, state_: QMCState, est_, key, iters_acc):
+        # the RNG split happens inside the jit (an eager split per sweep costs a
+        # dispatch roundtrip); returns the advanced key
+        key, sub = jax.random.split(key)
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
-            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
+            est_, fdm, sub, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
             mixed=cfg.mixed_precision,
         )
         out = make_measurements(ctx_, spec, upd.estimator, state_.x)
         n_re, _ = measure_n(upd.estimator)
         Nsq_re, _ = measure_Nsqrd(upd.estimator)
-        return upd.estimator, out, upd.iters, 2.0 * n_re, Nsq_re
+        return upd.estimator, out, iters_acc + upd.iters, 2.0 * n_re, Nsq_re, key
 
     @jax.jit
     def tune_pass(ctx_, state_: QMCState, est_, key):
+        key, sub = jax.random.split(key)
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
-            est_, fdm, key, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
+            est_, fdm, sub, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
             mixed=cfg.mixed_precision,
         )
         n_re, _ = measure_n(upd.estimator)
         Nsq_re, _ = measure_Nsqrd(upd.estimator)
-        return upd.estimator, upd.iters, 2.0 * n_re, Nsq_re
+        return upd.estimator, upd.iters, 2.0 * n_re, Nsq_re, key
 
     def set_mu(ctx_, mu):
         return ctx_.replace(tbp=ctx_.tbp.replace(mu=jnp.asarray(mu)))
@@ -285,12 +292,10 @@ def run_simulation(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        state, vec = sweep(ctx, state)
-        sweep_acc = sweep_acc + vec
+        state, sweep_acc = sweep(ctx, state, sweep_acc)
         if tuner is not None:
-            key_host, sub = jax.random.split(key_host)
-            est, iters, n, Nsq = tune_pass(ctx, state, est, sub)
-            tuner = mu_tuner_update(tuner, n, Nsq)
+            est, iters, n, Nsq, key_host = tune_pass(ctx, state, est, key_host)
+            tuner = tune_step(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         therm_done += 1
@@ -304,14 +309,13 @@ def run_simulation(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        state, vec = sweep(ctx, state)
-        sweep_acc = sweep_acc + vec
+        state, sweep_acc = sweep(ctx, state, sweep_acc)
 
-        key_host, sub = jax.random.split(key_host)
-        est, out, iters, n, Nsq = measure_pass(ctx, state, est, sub)
-        meas_iters_acc = meas_iters_acc + iters
+        est, out, meas_iters_acc, n, Nsq, key_host = measure_pass(
+            ctx, state, est, key_host, meas_iters_acc
+        )
         if tuner is not None:
-            tuner = mu_tuner_update(tuner, n, Nsq)
+            tuner = tune_step(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         acc.accumulate(out)
@@ -398,7 +402,7 @@ def _run_multiwalker(
     mu0 = float(np.asarray(tbp.mu))
     mu_walkers = jnp.full((W,), mu0)
     tuners = None
-    tuning_histories = [[] for _ in range(W)]
+    tuning_history_vecs = []  # one (mu, n, N2) (W,)-vector triple per tuner update
     if cfg.target_density is not None:
         t0 = init_mu_tuner(cfg.target_density, cfg.beta, tbp.n_sites, mu0)
         tuners = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a, (W,) + jnp.shape(a)), t0)
@@ -419,7 +423,7 @@ def _run_multiwalker(
     from .parallel.walkers import shared_precond_refresh
 
     @jax.jit
-    def sweep(s, mus):
+    def sweep(s, mus, acc_vec):
         # ONE preconditioner refresh per sweep from the walker-mean propagator
         # (vmapped eigh batches poorly; iteration counts are unchanged — see
         # parallel/walkers.py:shared_precond_refresh)
@@ -447,7 +451,8 @@ def _run_multiwalker(
             return s1, vec
 
         s, vecs = jax.vmap(one)(s, mus)
-        return s, jnp.mean(vecs, axis=0)  # walker-averaged per-sweep stats
+        # walker-averaged per-sweep stats, accumulated inside the jit
+        return s, acc_vec + jnp.mean(vecs, axis=0)
 
     def _refresh_est(s1, key, mu):
         c = with_mu(ctx, mu)
@@ -461,23 +466,31 @@ def _run_multiwalker(
         return c, upd, 2.0 * n_re, N2_re
 
     @jax.jit
-    def measure(s, keys, mus):
-        def one(s1, key, mu):
-            c, upd, n, N2 = _refresh_est(s1, key, mu)
+    def measure(s, key, mus, iters_acc):
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, W)
+
+        def one(s1, k, mu):
+            c, upd, n, N2 = _refresh_est(s1, k, mu)
             out = make_measurements(c, spec, upd.estimator, s1.x)
             return out, upd.iters, n, N2
 
-        return jax.vmap(one)(s, keys, mus)
+        out, iters, n_w, N2_w = jax.vmap(one)(s, keys, mus)
+        return out, iters_acc + jnp.mean(iters), n_w, N2_w, key
 
     @jax.jit
-    def tune(s, keys, mus):
+    def tune(s, key, mus):
         # cheap thermalization pass: estimator refresh + (n, N^2) only — no
         # correlation contractions (the single-walker tune_pass equivalent)
-        def one(s1, key, mu):
-            _, upd, n, N2 = _refresh_est(s1, key, mu)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, W)
+
+        def one(s1, k, mu):
+            _, upd, n, N2 = _refresh_est(s1, k, mu)
             return upd.iters, n, N2
 
-        return jax.vmap(one)(s, keys, mus)
+        iters, n_w, N2_w = jax.vmap(one)(s, keys, mus)
+        return n_w, N2_w, key
 
     metadata: Dict = {
         "n_walkers": W,
@@ -530,8 +543,8 @@ def _run_multiwalker(
             mu_walkers = jnp.asarray(s["mu_walkers"])
             if tuners is not None and s.get("tuners") is not None:
                 tuners = tuners.replace(**{k: jnp.asarray(v) for k, v in s["tuners"].items()})
-            if s.get("tuning_histories") is not None:
-                tuning_histories = [list(h) for h in s["tuning_histories"]]
+            if s.get("tuning_history_vecs") is not None:
+                tuning_history_vecs = [tuple(t) for t in s["tuning_history_vecs"]]
             if s.get("accs") is not None:
                 for w, a in enumerate(s["accs"]):
                     accs[w].sums = a["sums"]
@@ -559,7 +572,7 @@ def _run_multiwalker(
                 "Nsq_sum": tuners.Nsq_sum,
                 "weight": tuners.weight,
             },
-            "tuning_histories": [list(h) for h in tuning_histories],
+            "tuning_history_vecs": [tuple(t) for t in tuning_history_vecs],
             "accs": [{"sums": a.sums, "count": a.count} for a in accs],
         }
         cp_stamp = write_checkpoint(
@@ -577,17 +590,13 @@ def _run_multiwalker(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        states, vec = sweep(states, mu_walkers)
-        sweep_acc = sweep_acc + vec
+        states, sweep_acc = sweep(states, mu_walkers, sweep_acc)
         if tuners is not None:
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, W)
-            _, n_w, N2_w = tune(states, keys, mu_walkers)
+            n_w, N2_w, key = tune(states, key, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
-            for w in range(W):
-                # lazy device scalars; forced to host at save/checkpoint time
-                tuning_histories[w].append((mu_walkers[w], n_w[w], N2_w[w]))
+            # ONE lazy (W,)-vector triple per sweep; split per walker at save time
+            tuning_history_vecs.append((mu_walkers, n_w, N2_w))
         therm_done += 1
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
@@ -599,20 +608,15 @@ def _run_multiwalker(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        states, vec = sweep(states, mu_walkers)
-        sweep_acc = sweep_acc + vec
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, W)
-        out, iters, n_w, N2_w = measure(states, keys, mu_walkers)
+        states, sweep_acc = sweep(states, mu_walkers, sweep_acc)
+        out, meas_iters_acc, n_w, N2_w, key = measure(states, key, mu_walkers, meas_iters_acc)
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
-            for w in range(W):
-                tuning_histories[w].append((mu_walkers[w], n_w[w], N2_w[w]))
-        meas_iters_acc = meas_iters_acc + jnp.mean(iters)
+            tuning_history_vecs.append((mu_walkers, n_w, N2_w))
         for w in range(W):
-            # per-walker device-side slices accumulate lazily (no host sync)
-            accs[w].accumulate(jax.tree_util.tree_map(lambda a, w=w: a[w], out))
+            # ONE jitted dispatch per walker (dynamic-slice + add fused)
+            accs[w].accumulate_walker(out, w)
         meas_done += 1
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
@@ -641,8 +645,11 @@ def _run_multiwalker(
         metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
         from .io.simulation_info import save_density_tuning_profile
 
+        host_rows = [tuple(np.asarray(a) for a in t) for t in tuning_history_vecs]
         for w in range(W):
-            save_density_tuning_profile(sim_info.with_pID(w), tuning_histories[w])
+            save_density_tuning_profile(
+                sim_info.with_pID(w), [(mu[w], n[w], N2[w]) for (mu, n, N2) in host_rows]
+            )
     merge_bins(sim_info)
     save_simulation_info(sim_info, metadata)
     process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)

@@ -393,18 +393,45 @@ class MeasurementAccumulator:
     transfers (significant over a tunneled chip). Host conversion happens once
     per bin in finalize_bin (and at checkpoint time via np.asarray)."""
 
+    # class-level jitted helpers (shared across instances; retraced per tree
+    # structure): ONE dispatched call per accumulate instead of one eager op per
+    # tree leaf — eager dispatches serialize badly over a tunneled device
+    _jit_add = None
+    _jit_add_slice = None
+
     def __init__(self, spec: MeasurementSpec):
         self.spec = spec
         self.count = 0
         self.sums: Optional[dict] = None
+        if MeasurementAccumulator._jit_add is None:
+            import jax
+
+            MeasurementAccumulator._jit_add = jax.jit(
+                lambda s, h: jax.tree_util.tree_map(jnp.add, s, h)
+            )
+            MeasurementAccumulator._jit_add_slice = jax.jit(
+                lambda s, h, w: jax.tree_util.tree_map(
+                    lambda a, b: a + jax.lax.dynamic_index_in_dim(b, w, 0, keepdims=False),
+                    s,
+                    h,
+                )
+            )
 
     def accumulate(self, result) -> None:
-        import jax
-
         if self.sums is None:
             self.sums = result
         else:
-            self.sums = jax.tree_util.tree_map(lambda s, h: s + h, self.sums, result)
+            self.sums = MeasurementAccumulator._jit_add(self.sums, result)
+        self.count += 1
+
+    def accumulate_walker(self, result, w: int) -> None:
+        """Accumulate walker w's slice of a leading-walker-axis result tree."""
+        import jax
+
+        if self.sums is None:
+            self.sums = jax.tree_util.tree_map(lambda b: b[w], result)
+        else:
+            self.sums = MeasurementAccumulator._jit_add_slice(self.sums, result, w)
         self.count += 1
 
     def finalize_bin(self):
