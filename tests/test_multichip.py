@@ -121,3 +121,26 @@ def test_driver_n_walkers_with_mu_tuning(tmp_path):
         assert os.path.exists(path), path
         with open(path) as f:
             assert len(f.read().strip().splitlines()) >= 2
+
+
+def test_distributed_helpers_on_virtual_mesh():
+    """Multi-host helper API exercised on the 8-virtual-device mesh: the global
+    mesh covers every device, this (single) process owns every walker id, and
+    per-walker scalars gather to a fully-replicated host array."""
+    import jax
+    import jax.numpy as jnp
+
+    from smoqyelphqmc_tpu.parallel import (
+        gather_walker_scalars,
+        global_walker_mesh,
+        local_walker_ids,
+    )
+
+    mesh = global_walker_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    W = 2 * mesh.devices.size
+    ids = local_walker_ids(mesh, W)
+    assert sorted(ids) == list(range(W))  # single-process: owns all walkers
+    vals = jnp.arange(W, dtype=jnp.float64)
+    gathered = gather_walker_scalars(vals, mesh)
+    np.testing.assert_array_equal(gathered, np.arange(W))
