@@ -152,8 +152,10 @@ class ModelGeometry:
 
         Row 0 = initial site (orbital[0] in cell i), row 1 = final site
         (orbital[1] in cell i + displacement), one column per unit cell i in
-        C-order. Periodic wrapping is applied per dimension.
-        """
+        C-order. Wrapping is applied per dimension; for NON-periodic dimensions
+        the wrapped columns keep their (wrapped) indices so every bond type has
+        a static n_cells hops, and the expansion layers zero their amplitudes
+        (see bond_wrap_mask)."""
         L = self.L
         cells = cell_linear_indices(L)  # (n_cells, D)
         o_i, o_f = bond.orbitals
@@ -163,6 +165,26 @@ class ModelGeometry:
         lin_f = np.ravel_multi_index(cells_f.T, L)
         table = np.stack([lin_i * self.n_orbitals + o_i, lin_f * self.n_orbitals + o_f], axis=0)
         return table.astype(np.int32)
+
+    def bond_wrap_mask(self, bond: Bond) -> np.ndarray:
+        """(n_cells,) bool: True where the bond leaves the lattice through a
+        NON-periodic boundary (open boundary conditions: those hops carry zero
+        amplitude and no coupling — LatticeUtilities' open-BC capability with
+        static array shapes)."""
+        L = self.L
+        cells = cell_linear_indices(L)  # (n_cells, D)
+        disp = np.asarray(bond.displacement, dtype=np.int64)
+        raw = cells + disp[None, :]
+        wrapped = np.zeros(cells.shape[0], dtype=bool)
+        for d, (l, per) in enumerate(zip(L, self.lattice.periodic)):
+            if not per:
+                wrapped |= (raw[:, d] < 0) | (raw[:, d] >= l)
+        return wrapped
+
+    def displacement_wrap_mask(self, displacement, orbital: int = 0) -> np.ndarray:
+        """(n_cells,) bool wrap mask for a raw displacement (Holstein couplings
+        reaching across an open boundary)."""
+        return self.bond_wrap_mask(Bond(orbitals=(orbital, orbital), displacement=list(displacement)))
 
     def site_positions(self) -> np.ndarray:
         """(n_sites, D) real-space positions of every site."""

@@ -294,10 +294,12 @@ def initialize_electron_phonon_parameters(
     cells = cell_linear_indices(geo.L)  # (n_cells, D)
     Lvec = np.asarray(geo.L, dtype=np.int64)
     for hc in hols:
-        hol_alpha.append(_expand(hc.alpha_mean, hc.alpha_std, n_cells, rng))
-        hol_alpha2.append(_expand(hc.alpha2_mean, hc.alpha2_std, n_cells, rng))
-        hol_alpha3.append(_expand(hc.alpha3_mean, hc.alpha3_std, n_cells, rng))
-        hol_alpha4.append(_expand(hc.alpha4_mean, hc.alpha4_std, n_cells, rng))
+        # open boundaries: couplings reaching through a non-periodic edge vanish
+        keep = ~geo.displacement_wrap_mask(hc.displacement)
+        hol_alpha.append(_expand(hc.alpha_mean, hc.alpha_std, n_cells, rng) * keep)
+        hol_alpha2.append(_expand(hc.alpha2_mean, hc.alpha2_std, n_cells, rng) * keep)
+        hol_alpha3.append(_expand(hc.alpha3_mean, hc.alpha3_std, n_cells, rng) * keep)
+        hol_alpha4.append(_expand(hc.alpha4_mean, hc.alpha4_std, n_cells, rng) * keep)
         cell_lin = np.arange(n_cells)
         hol_to_phonon.append(hc.phonon_id * n_cells + cell_lin)
         disp = np.asarray(hc.displacement, dtype=np.int64)
@@ -342,18 +344,21 @@ def initialize_electron_phonon_parameters(
             a_mean_raw = [complex(v).real for v in a_mean_raw]
         a_mean = np.asarray(a_mean_raw, dtype=ssh_dtype)
         a_std = np.asarray([sc.alpha_std, sc.alpha2_std, sc.alpha3_std, sc.alpha4_std])
-        ssh_alpha.append(_expand(a_mean[0], a_std[0], n_cells, rng, ssh_dtype))
-        ssh_alpha2.append(_expand(a_mean[1], a_std[1], n_cells, rng, ssh_dtype))
-        ssh_alpha3.append(_expand(a_mean[2], a_std[2], n_cells, rng, ssh_dtype))
-        ssh_alpha4.append(_expand(a_mean[3], a_std[3], n_cells, rng, ssh_dtype))
+        # open boundaries: no coupling on a zero-amplitude wrapped hop
+        keep = ~geo.bond_wrap_mask(sc.bond)
+        ssh_alpha.append(_expand(a_mean[0], a_std[0], n_cells, rng, ssh_dtype) * keep)
+        ssh_alpha2.append(_expand(a_mean[1], a_std[1], n_cells, rng, ssh_dtype) * keep)
+        ssh_alpha3.append(_expand(a_mean[2], a_std[2], n_cells, rng, ssh_dtype) * keep)
+        ssh_alpha4.append(_expand(a_mean[3], a_std[3], n_cells, rng, ssh_dtype) * keep)
 
     # ---- dispersion couplings ----
     disps = electron_phonon_model.dispersion_couplings
     ndispersion = len(disps)
     disp_Omega, disp_Omega4, disp_to_phonon_i, disp_to_phonon_f = [], [], [], []
     for dc in disps:
-        disp_Omega.append(_expand(dc.Omega_mean, dc.Omega_std, n_cells, rng))
-        disp_Omega4.append(_expand(dc.Omega4_mean, dc.Omega4_std, n_cells, rng))
+        keep = ~geo.displacement_wrap_mask(dc.displacement)
+        disp_Omega.append(_expand(dc.Omega_mean, dc.Omega_std, n_cells, rng) * keep)
+        disp_Omega4.append(_expand(dc.Omega4_mean, dc.Omega4_std, n_cells, rng) * keep)
         p_i, p_f = dc.phonon_ids
         cell_lin = np.arange(n_cells)
         disp = np.asarray(dc.displacement, dtype=np.int64)

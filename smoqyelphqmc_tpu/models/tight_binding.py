@@ -117,6 +117,9 @@ def initialize_tight_binding_parameters(
         tm = np.full(n_cells, tight_binding_model.t_mean[b], dtype=t_dtype)
         if tight_binding_model.t_std is not None and tight_binding_model.t_std[b] > 0:
             tm = tm + tight_binding_model.t_std[b] * rng.standard_normal(n_cells)
+        # open boundaries: hops leaving through a non-periodic edge carry zero
+        # amplitude (static shapes preserved; the hop becomes an identity factor)
+        tm[geo.bond_wrap_mask(bond)] = 0.0
         t_vals.append(tm)
         bond_slices.append((start, start + n_cells))
         start += n_cells
