@@ -110,10 +110,13 @@ def bench_sweeps(n_sweeps=3, Nt=24):
         # dispatch roundtrip over the tunneled device
         return s, iters_acc + h.iters_avg
 
-    iters = jnp.asarray(0.0)
+    # strong-typed accumulator: a weak-typed jnp.asarray(0.0) seed would make
+    # the second call (which receives the strong-typed result) recompile the
+    # whole sweep inside the timed loop
+    iters = jnp.zeros((), jnp.float64)
     state, iters = sweep(state, iters)
     jax.block_until_ready(state.x)  # compile + warm
-    iters = jnp.asarray(0.0)
+    iters = jnp.zeros((), jnp.float64)
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         state, iters = sweep(state, iters)

@@ -216,7 +216,7 @@ def run_simulation(
     acc = MeasurementAccumulator(spec)
     key_host = jax.random.PRNGKey(cfg.seed + 7919)
     sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
-    meas_iters_acc = jnp.asarray(0.0)
+    meas_iters_acc = jnp.zeros((), jnp.float64)
 
     def sync_metadata():
         """Fold the device accumulators into metadata (host sync point)."""
@@ -226,7 +226,7 @@ def run_simulation(
             metadata[k] += float(v)
         metadata["measurement_iters"] += float(np.asarray(meas_iters_acc))
         sweep_acc = jnp.zeros(len(_STAT_KEYS))
-        meas_iters_acc = jnp.asarray(0.0)
+        meas_iters_acc = jnp.zeros((), jnp.float64)
 
     if resume:
         cp = read_checkpoint(sim_info.datafolder, sim_info.pID)
@@ -514,7 +514,7 @@ def _run_multiwalker(
     cp_stamp: Optional[float] = None
     key = jax.random.PRNGKey(cfg.seed + 17)
     sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
-    meas_iters_acc = jnp.asarray(0.0)
+    meas_iters_acc = jnp.zeros((), jnp.float64)
 
     def sync_metadata():
         nonlocal sweep_acc, meas_iters_acc
@@ -523,7 +523,7 @@ def _run_multiwalker(
             metadata[k] += float(v)
         metadata["measurement_iters"] += float(np.asarray(meas_iters_acc))
         sweep_acc = jnp.zeros(len(_STAT_KEYS))
-        meas_iters_acc = jnp.asarray(0.0)
+        meas_iters_acc = jnp.zeros((), jnp.float64)
 
     # ------------------------------------------------------------------
     # resume

@@ -35,6 +35,13 @@ TPU mapping (the load-bearing design choices):
 - Everything is real arithmetic: complex frequency-space vectors are (re, im)
   pairs; for the symmetric propagator the coefficients are real so the two
   channels never mix.
+- COMPLEX hoppings: Bbar is a complex (Hermitian for the symmetric
+  factorization) operator on the (re, im)-channel site vectors; the blocked
+  recurrence runs in the real doubled basis E = [[B_re, -B_im], [B_im, B_re]]
+  (2N x 2N dense, same embedding as ops/spectral_precond.py), and complex
+  frequency coefficients act through the i-rotation rot([a, b]) = [-b, a] of
+  the doubled site axis. Spectrum of E = spectrum of Bbar (doubled), so the
+  Lanczos bounds, activation test and per-frequency orders are unchanged.
 """
 
 from __future__ import annotations
@@ -198,6 +205,7 @@ class KPMPreconditioner:
     block_size: int = static_field(default=8)
     n_blocks: int = static_field(default=8)
     dtype: str = static_field(default="float32")
+    complex_pair: bool = static_field(default=False)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -215,12 +223,8 @@ class KPMPreconditioner:
         """Construct and immediately update (mirrors KPMPreconditioner ctor,
         /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
         symmetric propagator as in :263)."""
-        if fdm.complex_hops:
-            raise NotImplementedError(
-                "KPM preconditioning of complex hoppings is not supported; use the "
-                "spectral preconditioner (the default), which handles them exactly."
-            )
         Ltau, N = fdm.Ltau, fdm.n_sites
+        Ndim = 2 * N if fdm.complex_hops else N  # doubled basis for complex hops
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
         phi, perm, inv_perm, caps, buckets, block_size, n_blocks = _static_plan(
             Ltau, a1_eff, a2, cap_delta_eps, cap_max
@@ -236,8 +240,8 @@ class KPMPreconditioner:
             coefs_re=coefs_re,
             coefs_im=coefs_im,
             fft=TauFourier.build(Ltau, dtype=dtype),
-            BpT=jnp.zeros((N, N), dt),
-            TsT=jnp.zeros((N, N), dt),
+            BpT=jnp.zeros((Ndim, Ndim), dt),
+            TsT=jnp.zeros((Ndim, Ndim), dt),
             symmetric=fdm.symmetric,
             Ltau=Ltau,
             n_sites=N,
@@ -253,6 +257,7 @@ class KPMPreconditioner:
             block_size=block_size,
             n_blocks=n_blocks,
             dtype=dtype,
+            complex_pair=fdm.complex_hops,
         )
         return kpm_update(pre, fdm, key)
 
@@ -271,11 +276,32 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
     """Pure update of the preconditioner state for the current fermion matrix
     (update_preconditioner!, /root/reference/src/KPMPreconditioner.jl:554-597)."""
     bbar = averaged_propagator(fdm)
-    if pre.symmetric:
-        lo_raw, hi_raw = lanczos_bounds(bbar.apply, pre.n_sites, key, pre.n_lanczos)
+    N = pre.n_sites
+    # densify Bbar^T once per refresh (f64). Row-form convention: row k of the
+    # stored matrix is Bbar e_k, so u @ BbarT applies Bbar to row-vectors u.
+    # For complex hoppings the doubled real embedding E = [[Br, -Bi], [Bi, Br]]
+    # is built from channel-paired basis vectors (cf. ops/spectral_precond.py).
+    if pre.complex_pair:
+        eyeN = jnp.eye(N)
+        zeroN = jnp.zeros_like(eyeN)
+        basis = jnp.concatenate(
+            [
+                jnp.stack([eyeN, zeroN], axis=1),  # real unit site vectors
+                jnp.stack([zeroN, eyeN], axis=1),  # imaginary unit site vectors
+            ]
+        )[:, :, None, :]  # (2N, 2, 1, N)
+        out = bbar.apply(basis)  # row k = Bbar e_k as a channel pair
+        BbarT = jnp.concatenate([out[:, 0, 0, :], out[:, 1, 0, :]], axis=-1)  # (2N, 2N)
     else:
-        apply_BtB = lambda v: bbar.apply_T(bbar.apply(v))
-        lo2, hi2 = lanczos_bounds(apply_BtB, pre.n_sites, key, pre.n_lanczos)
+        eyeN = jnp.eye(N)
+        BbarT = bbar.apply(eyeN)
+    dim = BbarT.shape[0]
+    if pre.symmetric:
+        # symmetric factorization: Bbar (and its embedding E) is symmetric
+        lo_raw, hi_raw = lanczos_bounds(lambda v: v @ BbarT, dim, key, pre.n_lanczos)
+    else:
+        apply_BtB = lambda v: (v @ BbarT) @ BbarT.T
+        lo2, hi2 = lanczos_bounds(apply_BtB, dim, key, pre.n_lanczos)
         lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
         hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
     lo = (1.0 - pre.rbuf) * lo_raw
@@ -327,21 +353,17 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
         coefs_re.append(jnp.where(mask, cre, 0.0).astype(dt))
         coefs_im.append(jnp.where(mask, cim, 0.0).astype(dt))
 
-    # dense scaled propagator + stride matrix for the blocked recurrence.
-    # bbar.apply maps row-vectors: row i of apply(I) is Bbar e_i, i.e. the dense
-    # matrix stored here IS Bbar^T, exactly what the row-form matmuls below need.
+    # scaled propagator + stride matrix for the blocked recurrence (dense
+    # BbarT computed above)
     dt = jnp.dtype(pre.dtype)
-    N = pre.n_sites
-    eyeN = jnp.eye(N)
-    BbarT = bbar.apply(eyeN)
-    BpT = ((BbarT - center * eyeN) / half_safe).astype(dt)
+    BpT = ((BbarT - center * jnp.eye(dim)) / half_safe).astype(dt)
     s = pre.block_size
     # TsT = T_s(Bbar')^T by the dense Chebyshev matrix recurrence (s-1 matmuls,
     # MXU-shaped, once per refresh)
     if s == 1:
         TsT = BpT
     else:
-        m_prev, m_cur = jnp.eye(N, dtype=dt), BpT
+        m_prev, m_cur = jnp.eye(dim, dtype=dt), BpT
         for _ in range(s - 1):
             m_prev, m_cur = m_cur, 2.0 * (BpT @ m_cur) - m_prev
         TsT = m_cur
@@ -424,6 +446,58 @@ def _block_cheb(pre: "KPMPreconditioner", u_re, u_im, cre, cim):
     return carry[4], carry[5]
 
 
+def _rot_i(pre: "KPMPreconditioner", w: jnp.ndarray) -> jnp.ndarray:
+    """Multiply by i in the doubled (re, im)-site basis: [a, b] -> [-b, a]."""
+    N = pre.n_sites
+    return jnp.concatenate([-w[..., N:], w[..., :N]], axis=-1)
+
+
+def _block_cheb_pair(pre: "KPMPreconditioner", w, cre, cim):
+    """y = sum_k c_k T_k(E') w in the doubled real site basis (complex
+    hoppings): w is (..., F, 2N) holding the (re, im) halves of the complex
+    frequency-space vector, E' the scaled 2N x 2N embedding, and the complex
+    frequency coefficient c_k acts as cre + cim * rot_i. One recurrence over
+    the single doubled channel — same matmul volume as the real case's two
+    N-channels."""
+    s, nb = pre.block_size, pre.n_blocks
+    BpT, TsT = pre.BpT, pre.TsT
+    F = cre.shape[0]
+
+    cre_b = cre.T.reshape(nb, s, F)
+    cim_b = cim.T.reshape(nb, s, F)
+    use_im = not pre.symmetric  # symmetric coefficients are real
+
+    def acc(y, B, cb_re, cb_im):
+        y = y + jnp.einsum("jf,j...fn->...fn", cb_re, B)
+        if use_im:
+            y = y + _rot_i(pre, jnp.einsum("jf,j...fn->...fn", cb_im, B))
+        return y
+
+    ts = [w]
+    if s > 1:
+        ts.append(w @ BpT)
+        for _ in range(s - 2):
+            ts.append(2.0 * (ts[-1] @ BpT) - ts[-2])
+    B0 = jnp.stack(ts)
+    y = jnp.zeros_like(w)
+    y = acc(y, B0, cre_b[0], cim_b[0])
+    if nb == 1:
+        return y
+
+    Bm1 = jnp.concatenate([(w @ TsT)[None], B0[1:][::-1]], axis=0)
+
+    def body(b, carry):
+        Bp, Bc, y = carry
+        Bn = 2.0 * (Bc @ TsT) - Bp
+        cb_re = lax.dynamic_slice_in_dim(cre_b, b, 1, axis=0)[0]
+        cb_im = lax.dynamic_slice_in_dim(cim_b, b, 1, axis=0)[0]
+        y = acc(y, Bn, cb_re, cb_im)
+        return (Bc, Bn, y)
+
+    _, _, y = lax.fori_loop(1, nb, body, (Bm1, B0, y))
+    return y
+
+
 def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """z = P^{-1} r for real r (..., Ltau, N); channels/batches broadcast.
 
@@ -435,8 +509,21 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     r = r.astype(pre.BpT.dtype)
 
     def transform(r):
-        ure, uim = pre.fft.forward(r)
         cre, cim = pre.coefs_re[0], pre.coefs_im[0]
+        if pre.complex_pair:
+            # channel pair (..., 2, Ltau, N): complex tau-FFT of the complex
+            # field, then the doubled-basis recurrence on (..., F, 2N)
+            N = pre.n_sites
+            ure, uim = pre.fft.forward(r[..., 0, :, :], r[..., 1, :, :])
+            w = jnp.concatenate([ure, uim], axis=-1)
+            if pre.symmetric:
+                w = _block_cheb_pair(pre, w, cre, cim)
+            else:
+                w = _block_cheb_pair(pre, w, cre, -cim)
+                w = _block_cheb_pair(pre, w, cre, cim)
+            zre, zim = pre.fft.inverse(w[..., :N], w[..., N:])
+            return jnp.stack([zre, zim], axis=-3)
+        ure, uim = pre.fft.forward(r)
         if pre.symmetric:
             yre, yim = _block_cheb(pre, ure, uim, cre, cim)
         else:
@@ -450,7 +537,10 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def dense_preconditioner(pre: KPMPreconditioner) -> np.ndarray:
-    """Dense (Ltau N, Ltau N) matrix of P^{-1} (testing oracle)."""
+    """Dense (Ltau N, Ltau N) matrix of P^{-1} (testing oracle; real hoppings —
+    complex-hopping quality is asserted through CG iteration counts instead)."""
+    if pre.complex_pair:
+        raise NotImplementedError("dense oracle only provided for real hoppings")
     dim = pre.Ltau * pre.n_sites
     eye = np.eye(dim).reshape(dim, pre.Ltau, pre.n_sites)
     cols = jax.vmap(lambda e: kpm_apply(pre, e))(jnp.asarray(eye))

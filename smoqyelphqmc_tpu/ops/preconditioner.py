@@ -27,11 +27,7 @@ def build_preconditioner(kind: Optional[str], fdm: FermionDetMatrix, key):
     if kind is None or kind == "none":
         return None
     if kind == "auto":
-        # complex hoppings: only the spectral preconditioner supports them
-        if fdm.complex_hops or fdm.n_sites <= AUTO_SPECTRAL_MAX_SITES:
-            kind = "spectral"
-        else:
-            kind = "kpm"
+        kind = "spectral" if fdm.n_sites <= AUTO_SPECTRAL_MAX_SITES else "kpm"
     if kind == "spectral":
         return build_spectral(fdm)
     if kind == "kpm":

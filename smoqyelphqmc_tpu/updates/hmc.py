@@ -87,27 +87,31 @@ def hmc_update(
     x = recenter(x)
 
     # warm-start carry: consecutive trajectory solves share Phi and differ by
-    # one leapfrog drift of x, so each solve starts from the previous solution
-    # (iteration counts drop several-fold; CG still converges to tol, so the
-    # sampled distribution is untouched)
-    psi_warm = jnp.zeros(
-        (2, elph.Ltau, ctx.n_sites),
-        dtype=jnp.dtype(ctx.force_dtype),
-    )
+    # one leapfrog drift of x, so each solve starts from an extrapolation of the
+    # previous solutions (iteration counts drop several-fold; CG still converges
+    # to tol, so the sampled distribution is untouched). Second-order
+    # chronological extrapolation 2 psi_{t-1} - psi_{t-2} cancels the O(dt)
+    # drift of the solution along the trajectory, leaving an O(dt^2) residual.
+    warm_shape = (2, elph.Ltau, ctx.n_sites)
+    psi_prev = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
+    psi_prev2 = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
 
     def step(carry, t):
-        x, p, precond, psi_warm, iters_sum, ok = carry
+        x, p, precond, psi_prev, psi_prev2, iters_sum, ok = carry
         fdm = make_fdm(ctx, x)
         k_pre = jax.random.fold_in(k_pre0, t + 1)
         if precond is not None and params.refresh_precond_every_step:
             precond = refresh_preconditioner(precond, fdm, k_pre)
+        # t = 0: zero guess; t = 1: previous solution; t >= 2: linear extrapolation
+        psi_warm = jnp.where(t >= 2, 2.0 * psi_prev - psi_prev2, psi_prev)
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
             mixed=ctx.mixed_precision, solve_dtype=ctx.force_dtype,
             warm_start=psi_warm,
         )
-        psi_warm = res.psi_raw.astype(psi_warm.dtype)
+        psi_prev2 = psi_prev
+        psi_prev = res.psi_raw.astype(psi_prev.dtype)
         force = res.force
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
@@ -117,11 +121,11 @@ def hmc_update(
         x, p = efa.evolve(x, p, dt_drift)
         x = recenter(x)
         iters_sum = iters_sum + res.stats.iters
-        return (x, p, precond, psi_warm, iters_sum, ok), None
+        return (x, p, precond, psi_prev, psi_prev2, iters_sum, ok), None
 
-    (x, p, precond, psi_warm, iters_sum, ok), _ = lax.scan(
+    (x, p, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
         step,
-        (x, p, precond, psi_warm, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+        (x, p, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
         jnp.arange(Nt),
     )
 
@@ -132,7 +136,7 @@ def hmc_update(
         precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
     res1 = fermionic_action(
         Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
-        mixed=ctx.mixed_precision, warm_start=psi_warm.astype(jnp.float64),
+        mixed=ctx.mixed_precision, warm_start=psi_prev.astype(jnp.float64),
     )
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)

@@ -149,6 +149,50 @@ def test_complex_spectral_preconditioner(rng):
     assert int(s1.iters) < int(s0.iters) // 3, (int(s1.iters), int(s0.iters))
 
 
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_complex_kpm_preconditioner(symmetric, rng):
+    """Doubled-basis blocked-KPM preconditioner accelerates the complex solve
+    (closes the round-1 KPM-with-complex-hoppings gap)."""
+    from smoqyelphqmc_tpu.ops.kpm import KPMPreconditioner
+
+    fdm = _cplx_fdm(beta=2.0, symmetric=symmetric)
+    pre = KPMPreconditioner.build(fdm, jax.random.PRNGKey(0))
+    assert bool(pre.active), f"preconditioner inactive: bounds {pre.lo}, {pre.hi}"
+    b = rng.standard_normal((2, fdm.Ltau, fdm.n_sites))
+    bp = jnp.asarray(b)
+    x0, s0 = cg_solve(fdm.mul_MtM, bp, tol=1e-10, maxiter=4000, sys_ndim=3)
+    x1, s1 = cg_solve(
+        fdm.mul_MtM, bp, precond=pre.as_operator(), tol=1e-10, maxiter=4000, sys_ndim=3
+    )
+    assert bool(s0.converged) and bool(s1.converged)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-7)
+    assert int(s1.iters) < int(s0.iters), (int(s1.iters), int(s0.iters))
+
+
+def test_complex_kpm_exact_for_static_field(rng):
+    """With a tau-independent complex-hopping field (alpha=0, x=0), Bbar = B_l
+    exactly, so the KPM expansion approximates [M^dag M]^{-1} itself."""
+    from smoqyelphqmc_tpu.ops.kpm import KPMPreconditioner
+
+    geo, tbm, tbp, em, elph = complex_chain_model(beta=2.0, alpha=0.0)
+    elph = elph.replace(x=jnp.zeros_like(elph.x))
+    fpi = build_path_integral(tbp, elph)
+    st = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, st, symmetric=True)
+    assert fdm.complex_hops
+    pre = KPMPreconditioner.build(fdm, jax.random.PRNGKey(1))
+    assert bool(pre.active)
+    b = rng.standard_normal((2, fdm.Ltau, fdm.n_sites))
+    bp = jnp.asarray(b)
+    x0, s0 = cg_solve(fdm.mul_MtM, bp, tol=1e-8, maxiter=4000, sys_ndim=3)
+    x1, s1 = cg_solve(
+        fdm.mul_MtM, bp, precond=pre.as_operator(), tol=1e-8, maxiter=4000, sys_ndim=3
+    )
+    assert bool(s1.converged)
+    assert int(s1.iters) <= max(8, int(s0.iters) // 4), (int(s1.iters), int(s0.iters))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-4, atol=1e-6)
+
+
 def test_complex_hmc_runs():
     geo, tbm, tbp, em, elph = complex_chain_model(beta=0.6)
     ctx, state = initialize_qmc(tbp, elph, seed=1, tol=1e-8)
