@@ -55,7 +55,12 @@ class SimulationConfig:
     runtime_limit_hours: float = np.inf
     use_preconditioner: bool = True
     preconditioner: Optional[str] = None  # 'auto' (default) | 'spectral' | 'kpm' | 'none'
-    mixed_precision: bool = False  # f32 Krylov inner solves + f64 defect correction
+    # f32 Krylov inner solves + f64 defect correction for the f64 action /
+    # measurement solves; converges to the f64 solution of the f64 operator
+    # (ops/cg.py:cg_solve_mixed), so accuracy is unchanged while the inner
+    # iterations run at f32 speed — and, on TPU, inside the fused Pallas
+    # solver (ops/pallas_fused.py)
+    mixed_precision: bool = True
     # contraction-engine dtype: f32 rounding (~1e-7) is far below statistical
     # noise; measured 16x faster than f64 on TPU (BENCH.md)
     measurement_dtype: str = "float32"

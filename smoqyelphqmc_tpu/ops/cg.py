@@ -122,6 +122,7 @@ def cg_solve_mixed(
     inner_tol: float = 1e-5,
     max_outer: int = 12,
     sys_ndim: int = 2,
+    inner_solver: Optional[Callable] = None,
 ):
     """Mixed-precision defect-correction (reliable-update) CG.
 
@@ -155,14 +156,18 @@ def cg_solve_mixed(
 
         def correct(args):
             x, r, it_total = args
-            e32, stats = cg_solve(
-                apply_A_low,
-                r.astype(jnp.float32),
-                precond=precond,
-                tol=inner_tol,
-                maxiter=maxiter,
-                sys_ndim=sys_ndim,
-            )
+            if inner_solver is not None:
+                # e.g. the VMEM-resident fused Pallas PCG (ops/pallas_fused.py)
+                e32, stats = inner_solver(r.astype(jnp.float32), inner_tol, maxiter)
+            else:
+                e32, stats = cg_solve(
+                    apply_A_low,
+                    r.astype(jnp.float32),
+                    precond=precond,
+                    tol=inner_tol,
+                    maxiter=maxiter,
+                    sys_ndim=sys_ndim,
+                )
             x = x + e32.astype(x.dtype)
             return x, it_total + stats.iters
 

@@ -212,15 +212,37 @@ def solve_MtM(
     statistically free since CG still converges to tol)."""
     from .cg import cg_solve, cg_solve_mixed
 
+    # Fully-fused Pallas solve (ops/pallas_fused.py): the whole Krylov loop in
+    # one VMEM-resident kernel. Applies to the f32 + symmetric + real-hopping +
+    # spectral-preconditioner path — exactly the production force solves (and
+    # the inner solves of mixed-precision f64 defect correction). The gate is
+    # trace-time static (dtypes/types/flags), so either branch traces to a
+    # single clean program.
+    # an f32 right-hand side IS the low-precision system: defect correction
+    # would add nothing (the f32 solve already meets any tol >= f32 resolution)
+    mixed = mixed and rhs.dtype == jnp.float64
+    fused = None
+    if rhs.dtype == jnp.float32 or mixed:
+        from .pallas_fused import fused_cg_mode, build_fused_pcg
+
+        mode = fused_cg_mode()
+        if mode is not None:
+            fused = build_fused_pcg(fdm, precond, interpret=(mode == "interpret"))
+    if fused is not None and rhs.dtype == jnp.float32 and not mixed:
+        return fused(rhs, x0=x0, tol=tol, maxiter=maxiter)
+
     pre_op = precond.as_operator() if precond is not None else None
     # complex M mixes the re/im channel pair at axis -3: the CG inner products
     # must then reduce over (channel, Ltau, N) jointly
     sys_ndim = 3 if fdm.complex_hops else 2
     if mixed:
         fdm32 = fdm.astype(jnp.float32)
+        inner = None
+        if fused is not None:
+            inner = lambda r32, it, mi: fused(r32, tol=it, maxiter=mi)
         return cg_solve_mixed(
             fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter,
-            sys_ndim=sys_ndim,
+            sys_ndim=sys_ndim, inner_solver=inner,
         )
     return cg_solve(
         fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter, sys_ndim=sys_ndim, x0=x0

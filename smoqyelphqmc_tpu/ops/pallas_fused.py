@@ -1,0 +1,576 @@
+"""Pallas-fused M^T M matvec: the innermost hot operation in one VMEM-resident kernel.
+
+The XLA path (ops/fermion_det.py:mul_MtM) lowers to ~14 separate kernels per
+application (4 checkerboard color sweeps x n_colors gathers + diagonal scalings
++ rolls), each round-tripping the (Ltau, N) space-time vector through HBM. This
+kernel keeps the vector in VMEM for the whole M^T M chain:
+
+    m = v + sgn_first (.) B roll(v, +1_tau),   out = m + sgn_last (.) roll(B^T m, -1_tau)
+
+with the symmetric-factorization propagator B = CB^T D CB applied slice-wise.
+
+TPU mapping (the load-bearing choices):
+  - The per-color partner gather u[..., partner_c] is decomposed into LANE-ROLL
+    CLASSES: on a periodic lattice every checkerboard color's partner map is an
+    orbital swap + uniform cell displacement, so partner[n] = (n + s_k) mod N
+    for a handful of static shifts s_k (2-4 on chain/square/honeycomb; torus
+    wrap rows form their own class). The gather becomes
+        u_partner = sum_k mask_k (.) roll(u, -s_k, lanes)
+    with the masks folded into per-class S coefficient planes — pure VPU work,
+    no MXU and no HBM. Irregular partner maps (no small class decomposition)
+    fall back to an exact permutation matmul: P is 0/1 (bf16-exact) and u is
+    split into three bf16 planes (8+8+8 mantissa bits = f32's 24), so three
+    default-precision bf16 matmuls reconstruct the permuted f32 exactly.
+  - Batch elements are processed in CHUNKS inside one kernel instance
+    (grid over B/chunk); coefficient planes use a constant index map, so
+    Pallas keeps them resident in VMEM across grid steps.
+  - The tau axis rides the sublane dimension; the antiperiodic time shift is a
+    sublane pltpu.roll plus precomputed (Ltau, 1) boundary-sign columns.
+
+Scope: float32, real hoppings, symmetric factorization — exactly the production
+force-solve path (driver default force_dtype="float32") and the inner loop of
+mixed-precision CG. f64 action solves and complex-hopping models use the XLA
+path (Mosaic has no f64 compute; complex models carry channel mixing).
+
+Reference for the operation semantics: /root/reference/src/FermionDetMatrix.jl:329-340
+(mul_MtM!), :385-427 (mul_M!), :484-525 (mul_Mt!), and
+checkerboard_matrix_multiply.jl:26-72 for the color sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas is TPU/interpret only; import lazily-guarded
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+# ----------------------------------------------------------------------
+# host-side structure analysis
+# ----------------------------------------------------------------------
+
+
+def shift_classes(partner: np.ndarray, max_classes: int = 8):
+    """Decompose each color's partner permutation into lane-roll classes.
+
+    Returns (shifts, masks): shifts is a tuple (per color) of tuples of static
+    lane shifts s with partner[n] = (n + s) mod N on the masked lanes; masks is
+    a list (per color) of (n_classes_c, N) float32 0/1 planes. None when any
+    color needs more than max_classes shifts (irregular lattice)."""
+    n_colors, N = partner.shape
+    shifts = []
+    masks = []
+    for c in range(n_colors):
+        s = (partner[c] - np.arange(N)) % N
+        vals = np.unique(s)
+        # identity lanes (uncovered sites) carry S = 0; keep their class only
+        # if 0 is a genuine shift of covered pairs — masks fold into S anyway
+        if len(vals) > max_classes:
+            return None
+        shifts.append(tuple(int(v) for v in vals))
+        masks.append(np.stack([(s == v).astype(np.float32) for v in vals]))
+    return tuple(shifts), masks
+
+
+def partner_onehot(partner: np.ndarray) -> np.ndarray:
+    """(n_colors, N, N) one-hot permutation matrices P_c^T with
+    (u @ P_c^T)[n] = u[partner_c[n]] — exactly representable in bf16."""
+    n_colors, n_sites = partner.shape
+    P = np.zeros((n_colors, n_sites, n_sites), dtype=np.float32)
+    for c in range(n_colors):
+        # (u @ PT)[.., n] = sum_k u[k] PT[k, n] with PT[k, n] = 1 iff k = partner[c, n]
+        P[c, partner[c], np.arange(n_sites)] = 1.0
+    return P
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+
+def _permute_exact(u2d, PTc_bf16):
+    """u2d[., partner] via three bf16 matmuls: exact f32 permutation.
+
+    u = hi + mid + lo with each part bf16-exact (the final residual has <= 8
+    significant bits left, so the decomposition terminates exactly); each
+    product against the 0/1 matrix is exact in the f32 accumulator, and the
+    three partial sums recombine to the original f32 values without rounding."""
+    hi = u2d.astype(jnp.bfloat16)
+    r1 = u2d - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    mm = lambda a: jax.lax.dot_general(  # noqa: E731
+        a, PTc_bf16, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return mm(hi) + mm(mid) + mm(lo)
+
+
+def _mtm_kernel_roll(v_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *, shifts):
+    """Roll-class variant. Sk_ref holds per-(color, class) masked S planes,
+    flattened over the leading axis in color-major order."""
+    v = v_ref[:]  # (Bc, Ltau, N)
+    N = v.shape[-1]
+    Ltau = v.shape[-2]
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+
+    def cb(u, transpose):
+        order = reversed(range(n_colors)) if transpose else range(n_colors)
+        for c in order:
+            acc = C_ref[c] * u
+            for k, s in enumerate(shifts[c]):
+                up = pltpu.roll(u, jnp.int32((N - s) % N), 2) if s else u
+                acc = acc + Sk_ref[int(offsets[c]) + k] * up
+            u = acc
+        return u
+
+    def apply_B(u):
+        u = cb(u, transpose=True)
+        u = expV_ref[:] * u
+        return cb(u, transpose=False)
+
+    u = pltpu.roll(v, jnp.int32(1), 1)
+    u = apply_B(u)
+    m = v + sgn1_ref[:] * u
+    w = apply_B(m)  # sym: B^T = B
+    w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)  # roll by -1 (shift must be >= 0)
+    out_ref[:] = m + sgnL_ref[:] * w
+
+
+def _mtm_kernel_mm(v_ref, C_ref, S_ref, PT_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *, n_colors):
+    """Permutation-matmul fallback variant."""
+    v = v_ref[:]  # (Bc, Ltau, N)
+    Bc, Ltau, N = v.shape
+
+    def cb(u, transpose):
+        order = reversed(range(n_colors)) if transpose else range(n_colors)
+        for c in order:
+            up = _permute_exact(u.reshape(Bc * Ltau, N), PT_ref[c]).reshape(Bc, Ltau, N)
+            u = C_ref[c] * u + S_ref[c] * up
+        return u
+
+    def apply_B(u):
+        u = cb(u, transpose=True)
+        u = expV_ref[:] * u
+        return cb(u, transpose=False)
+
+    u = pltpu.roll(v, jnp.int32(1), 1)
+    u = apply_B(u)
+    m = v + sgn1_ref[:] * u
+    w = apply_B(m)
+    w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)
+    out_ref[:] = m + sgnL_ref[:] * w
+
+
+# index maps must return i32 under enable_x64 (the package default): python int
+# literals would trace as i64 and Mosaic cannot legalize the index-map
+# func.return (numpy scalar: index maps may not capture traced constants)
+_Z = np.int32(0)
+
+
+def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bool):
+    B, Ltau, N = v.shape
+    n_colors = len(shifts)
+    n_cls = Sk.shape[0]
+    kernel = functools.partial(_mtm_kernel_roll, shifts=shifts)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ltau, N), jnp.float32),
+        grid=(B // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
+            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((n_cls, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((Ltau, N), lambda b: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
+        interpret=interpret,
+    )(v, C, Sk, expV, sgn1, sgnL)
+
+
+def _mtm_mm_call(v, C, S, PT, expV, sgn1, sgnL, n_colors: int, chunk: int, interpret: bool):
+    B, Ltau, N = v.shape
+    kernel = functools.partial(_mtm_kernel_mm, n_colors=n_colors)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ltau, N), jnp.float32),
+        grid=(B // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
+            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((n_colors, N, N), lambda b: (_Z, _Z, _Z)),
+            pl.BlockSpec((Ltau, N), lambda b: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
+        interpret=interpret,
+    )(v, C, S, PT, expV, sgn1, sgnL)
+
+
+# ----------------------------------------------------------------------
+# public wrapper
+# ----------------------------------------------------------------------
+
+
+class FusedMtM:
+    """Precomputed device arrays for the fused M^T M kernel of one fdm.
+
+    Build once per fermion-matrix update via `build_fused_mtm`; apply with
+    (..., Ltau, N) float32 operands (leading axes flattened into batch chunks).
+    mode is 'roll' (lane-roll classes) or 'matmul' (exact permutation matmul)."""
+
+    def __init__(self, mode, arrays, static, interpret, max_chunk=4):
+        self.mode = mode
+        self.arrays = arrays
+        self.static = static
+        self.interpret = interpret
+        self.max_chunk = max_chunk
+
+    def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
+        shape = v.shape
+        Ltau, N = shape[-2], shape[-1]
+        vb = v.astype(jnp.float32).reshape((-1, Ltau, N))
+        B = vb.shape[0]
+        chunk = 1
+        while chunk < self.max_chunk and B % (chunk * 2) == 0:
+            chunk *= 2
+        if self.mode == "roll":
+            out = _mtm_roll_call(
+                vb, *self.arrays, shifts=self.static, chunk=chunk, interpret=self.interpret
+            )
+        else:
+            out = _mtm_mm_call(
+                vb, *self.arrays, n_colors=self.static, chunk=chunk, interpret=self.interpret
+            )
+        return out.reshape(shape)
+
+
+def build_fused_mtm(
+    fdm, interpret: Optional[bool] = None, max_chunk: int = 4, max_classes: int = 8
+) -> Optional[FusedMtM]:
+    """FusedMtM for a symmetric real-hopping fermion matrix; None when the
+    kernel does not apply (complex hoppings / asymmetric factorization)."""
+    if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    f32 = jnp.float32
+    C = fdm.cb.C.astype(f32)[:, None]  # (nc, 1, Ltau, N): broadcast over chunk
+    S = fdm.cb.S.astype(f32)[:, None]
+    expV = fdm.exp_nV.astype(f32)
+    sgn1 = _sign_col(fdm.Ltau, first=True)
+    sgnL = _sign_col(fdm.Ltau, first=False)
+    cls = shift_classes(fdm.cb.partner, max_classes=max_classes)
+    if cls is not None:
+        shifts, masks = cls
+        # fold each class mask into its color's S plane: (n_cls_total, 1, Ltau, N)
+        Sk = jnp.concatenate(
+            [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
+        )[:, None]
+        return FusedMtM("roll", (C, Sk, expV, sgn1, sgnL), shifts, interpret, max_chunk)
+    PT = jnp.asarray(partner_onehot(fdm.cb.partner)).astype(jnp.bfloat16)
+    return FusedMtM("matmul", (C, S, PT, expV, sgn1, sgnL), fdm.cb.n_colors, interpret, max_chunk)
+
+
+def _sign_col(Ltau: int, first: bool) -> jnp.ndarray:
+    s = np.full((Ltau, 1), -1.0, dtype=np.float32)
+    s[0 if first else Ltau - 1, 0] = 1.0
+    return jnp.asarray(s)
+
+
+# ======================================================================
+# Fully-fused preconditioned CG: the whole Krylov loop in one kernel
+# ======================================================================
+#
+# Profiling (BENCH.md round 2): a preconditioned f32 CG iteration costs
+# ~1.25 ms at W = 8 of which the matvec is only ~0.2 ms and the spectral
+# preconditioner ~0.34 ms — the rest is HBM traffic for the dots / axpy /
+# masking chain over the (B, Ltau, N) Krylov vectors (~20 passes per
+# iteration). This kernel runs the ENTIRE solve with x, r, p resident in
+# VMEM: HBM touches the state exactly twice (load b/x0, store x). Each batch
+# chunk iterates to its own convergence — no lockstep across chunks.
+#
+# The spectral preconditioner is applied with dense DFT matrices on the MXU
+# (bf16 inputs, f32 accumulation): a preconditioner is a fixed SPD map, so its
+# internal precision never affects the CG fixed point, only (marginally) the
+# iteration count. The CG recurrences and dots stay f32.
+
+
+def _pcg_kernel(
+    b_ref, x0_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
+    Wre_ref, Wim_ref, Q_ref, filt_ref,
+    x_ref, aux_ref,
+    *, shifts, tol, maxiter, warm,
+):
+    Bc, Ltau, N = b_ref.shape
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+    # concrete 32-bit scalars: python literals would materialize as f64/i64
+    # constants under enable_x64, which Mosaic cannot lower
+    tol_c = np.float32(tol)
+    one_c = np.float32(1.0)
+    zero_c = np.float32(0.0)
+    maxiter_c = np.int32(maxiter)
+
+    def cb(u, transpose):
+        order = reversed(range(n_colors)) if transpose else range(n_colors)
+        for c in order:
+            acc = C_ref[c] * u
+            for k, s in enumerate(shifts[c]):
+                up = pltpu.roll(u, jnp.int32((N - s) % N), 2) if s else u
+                acc = acc + Sk_ref[int(offsets[c]) + k] * up
+            u = acc
+        return u
+
+    def apply_B(u):
+        u = cb(u, transpose=True)
+        u = expV_ref[:] * u
+        return cb(u, transpose=False)
+
+    def mtm(v):
+        u = pltpu.roll(v, jnp.int32(1), 1)
+        u = apply_B(u)
+        m = v + sgn1_ref[:] * u
+        w = apply_B(m)
+        w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)
+        return m + sgnL_ref[:] * w
+
+    def tau_mm(W, u):
+        # contract the tau (sublane) axis per chunk element: (L, L) @ (L, N)
+        return jnp.stack(
+            [jnp.dot(W, u[s], preferred_element_type=jnp.float32) for s in range(Bc)]
+        )
+
+    def precond(r):
+        # z = F^H Q diag(filt) Q^T F r  (ops/spectral_precond.py:spectral_apply)
+        ur = tau_mm(Wre_ref[:], r)
+        ui = tau_mm(Wim_ref[:], r)
+        Q = Q_ref[:]
+        mm = lambda a: jnp.dot(  # noqa: E731
+            a.reshape(Bc * Ltau, N), Q, preferred_element_type=jnp.float32
+        ).reshape(Bc, Ltau, N)
+        mmT = lambda a: jnp.dot(  # noqa: E731
+            a.reshape(Bc * Ltau, N), Q.T, preferred_element_type=jnp.float32
+        ).reshape(Bc, Ltau, N)
+        ar = mm(ur) * filt_ref[:]
+        ai = mm(ui) * filt_ref[:]
+        br = mmT(ar)
+        bi = mmT(ai)
+        # real part of the unitary inverse: W^H = conj(W)^T
+        return tau_mm(Wre_ref[:].T, br) + tau_mm(Wim_ref[:].T, bi)
+
+    def sdot(a, b):
+        # per-system scalar: (Bc, Ltau, N) -> (Bc, 1)
+        return jnp.sum(jnp.sum(a * b, axis=2), axis=1, keepdims=True)
+
+    def col(s):  # (Bc, 1) -> (Bc, 1, 1) for broadcasting against vectors
+        return s[:, :, None]
+
+    b = b_ref[:]
+    normb2 = sdot(b, b)
+    safe_normb = jnp.sqrt(jnp.where(normb2 > zero_c, normb2, one_c))
+    if warm:
+        x = x0_ref[:]
+        r = b - mtm(x)
+    else:
+        x = jnp.zeros_like(b)
+        r = b
+    z = precond(r)
+    p = z
+    rdotz = sdot(r, z)
+    eps = jnp.sqrt(sdot(r, r)) / safe_normb
+    # active mask as f32 (0/1): Mosaic cannot reduce a bool array to the
+    # while-loop's scalar condition
+    active = jnp.where(eps >= tol_c, one_c, zero_c)
+
+    def cond(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        return jnp.logical_and(jnp.max(active) > zero_c, it < maxiter_c)
+
+    def body(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        on = active > zero_c
+        Ap = mtm(p)
+        pAp = sdot(p, Ap)
+        alpha = jnp.where(on, rdotz / jnp.where(pAp != zero_c, pAp, one_c), zero_c)
+        x = x + col(alpha) * p
+        r = r - col(alpha) * Ap
+        eps_new = jnp.sqrt(sdot(r, r)) / safe_normb
+        eps = jnp.where(on, eps_new, eps)
+        on_new = jnp.logical_and(on, eps >= tol_c)
+        z = precond(r)
+        new_rdotz = sdot(r, z)
+        beta = jnp.where(
+            on_new, new_rdotz / jnp.where(rdotz != zero_c, rdotz, one_c), zero_c
+        )
+        p = jnp.where(col(on_new), z + col(beta) * p, p)
+        rdotz = jnp.where(on_new, new_rdotz, rdotz)
+        active = jnp.where(on_new, one_c, zero_c)
+        return (x, r, p, rdotz, eps, active, it + np.int32(1))
+
+    x, r, p, rdotz, eps, active, it = jax.lax.while_loop(
+        cond, body, (x, r, p, rdotz, eps, active, jnp.int32(0))
+    )
+    x_ref[:] = x
+    # pad the (Bc, 1) eps column and the scalar iteration count into the
+    # (16, 128)-tiled auxiliary output block: rows 0..Bc-1 carry eps, rows
+    # 8..15 carry the chunk's iteration count
+    eps_pad = jnp.pad(eps, ((0, 8 - Bc), (0, 127)))
+    it_plane = jnp.broadcast_to(it.astype(jnp.float32), (8, 128))
+    aux_ref[0] = jnp.concatenate([eps_pad, it_plane], axis=0)
+
+
+def _pcg_call(
+    b, x0, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt,
+    shifts, tol: float, maxiter: int, chunk: int, warm: bool, interpret: bool,
+):
+    B, Ltau, N = b.shape
+    n_colors = len(shifts)
+    n_cls = Sk.shape[0]
+    kernel = functools.partial(
+        _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter, warm=warm
+    )
+    n_chunks = B // chunk
+    x, aux = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Ltau, N), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 16, 128), jnp.float32),
+        ),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((n_colors, 1, Ltau, N), lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((n_cls, 1, Ltau, N), lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((Ltau, N), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((N, N), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, N), lambda i: (_Z, _Z)),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, 16, 128), lambda i: (i, _Z, _Z)),
+        ),
+        interpret=interpret,
+    )(b, x0, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt)
+    eps = aux[:, :chunk, 0].reshape(B)
+    iters = aux[:, 8, 0]  # per-chunk while-loop counts
+    return x, eps, iters
+
+
+class FusedPCG:
+    """Whole-solve fused preconditioned CG for one (fdm, spectral precond) pair.
+
+    Built by `build_fused_pcg`; call with (b, x0, tol, maxiter) shaped
+    (..., Ltau, N) float32. Returns (x, CGStats) with cg_solve-compatible
+    semantics (per-system eps; converged = all finite + below tol; iters =
+    max over batch chunks)."""
+
+    def __init__(self, arrays, shifts, interpret, max_chunk=4):
+        self.arrays = arrays
+        self.shifts = shifts
+        self.interpret = interpret
+        self.max_chunk = max_chunk
+
+    def __call__(self, b: jnp.ndarray, x0=None, tol: float = 1e-5, maxiter: int = 500):
+        from .cg import CGStats
+
+        shape = b.shape
+        Ltau, N = shape[-2], shape[-1]
+        bb = b.astype(jnp.float32).reshape((-1, Ltau, N))
+        B = bb.shape[0]
+        chunk = 1
+        while chunk < self.max_chunk and B % (chunk * 2) == 0:
+            chunk *= 2
+        warm = x0 is not None
+        xx = bb if x0 is None else x0.astype(jnp.float32).reshape((-1, Ltau, N))
+        x, eps, iters = _pcg_call(
+            bb, xx, *self.arrays,
+            shifts=self.shifts, tol=float(tol), maxiter=int(maxiter),
+            chunk=chunk, warm=warm, interpret=self.interpret,
+        )
+        x = x.reshape(shape)
+        eps = eps.reshape(shape[:-2]) if len(shape) > 2 else eps.reshape(())
+        iters = jnp.max(iters).astype(jnp.int32)
+        finite = jnp.all(jnp.isfinite(x))
+        converged = jnp.logical_and(finite, jnp.all(eps < tol))
+        return x, CGStats(iters=iters, eps=eps, converged=converged)
+
+
+def fused_cg_mode() -> Optional[str]:
+    """Trace-time gate for the fused solver: 'compiled' on a real TPU backend,
+    'interpret' when SMOQY_FUSED_CG=interpret (CPU testing), None when disabled
+    (SMOQY_FUSED_CG=0 or non-TPU backend)."""
+    import os
+
+    mode = os.environ.get("SMOQY_FUSED_CG", "auto")
+    if mode == "0":
+        return None
+    if mode == "interpret":
+        return "interpret"
+    return "compiled" if jax.default_backend() == "tpu" else None
+
+
+def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int = 2):
+    """FusedPCG when the configuration supports it (symmetric real-hopping fdm
+    + spectral preconditioner with matching sizes); None otherwise.
+
+    IMPORTANT: call this with TRACED (fdm, pre) inside the consuming jit — the
+    table arrays must reach the pallas_call as traced arguments. Closure-
+    captured device arrays in a jit containing a pallas_call are re-shipped on
+    every dispatch (~30 ms measured over the device tunnel, BENCH.md).
+
+    max_chunk = 2 keeps the whole Krylov state + tables within VMEM (chunk = 4
+    fails to compile at the headline Ltau = 240, N = 288)."""
+    from .spectral_precond import SpectralPreconditioner
+
+    if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
+        return None
+    if not isinstance(pre, SpectralPreconditioner) or pre.complex_pair:
+        return None
+    if pre.Q.shape[0] != fdm.n_sites:
+        return None
+    cls = shift_classes(fdm.cb.partner)
+    if cls is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    shifts, masks = cls
+    f32 = jnp.float32
+    C = fdm.cb.C.astype(f32)[:, None]
+    S = fdm.cb.S.astype(f32)[:, None]
+    Sk = jnp.concatenate(
+        [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
+    )[:, None]
+    Ltau = fdm.Ltau
+    # dense antiperiodic DFT matrices (ops/fourier.py dft semantics):
+    # W[w, l] = (1/sqrt(L)) exp(-i (2 pi w + pi) l / L)
+    w = np.arange(Ltau)[:, None]
+    l = np.arange(Ltau)[None, :]
+    ang = -(2.0 * np.pi * w + np.pi) * l / Ltau
+    Wre = jnp.asarray((np.cos(ang) / np.sqrt(Ltau)).astype(np.float32))
+    Wim = jnp.asarray((np.sin(ang) / np.sqrt(Ltau)).astype(np.float32))
+    arrays = (
+        C, Sk, fdm.exp_nV.astype(f32),
+        _sign_col(Ltau, True), _sign_col(Ltau, False),
+        Wre, Wim, pre.Q.astype(f32), pre.filt.astype(f32),
+    )
+    return FusedPCG(arrays, shifts, interpret, max_chunk)

@@ -1,0 +1,115 @@
+"""Tests of the Pallas-fused matvec / whole-solve CG (ops/pallas_fused.py).
+
+These run the kernels in interpret mode (the CPU test backend has no Mosaic);
+the compiled path is exercised on the real TPU by bench.py and the driver.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+from smoqyelphqmc_tpu.ops.cg import cg_solve
+from smoqyelphqmc_tpu.ops.checkerboard import build_checkerboard_structure
+from smoqyelphqmc_tpu.ops.fermion_det import FermionDetMatrix
+from smoqyelphqmc_tpu.ops.pallas_fused import (
+    build_fused_mtm,
+    build_fused_pcg,
+    partner_onehot,
+    shift_classes,
+)
+from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+from _models import chain_model, honeycomb_model
+
+
+def _fdm(model_fn, **kw):
+    geo, tbm, tbp, elph_model, elph = model_fn(**kw)
+    fpi = build_path_integral(tbp, elph)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    return FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+
+
+def test_shift_classes_cover_partner():
+    """Every color's partner map decomposes into masked lane shifts."""
+    fdm = _fdm(honeycomb_model, L=2, beta=1.0)
+    cls = shift_classes(fdm.cb.partner)
+    assert cls is not None
+    shifts, masks = cls
+    N = fdm.n_sites
+    for c, (sh, mk) in enumerate(zip(shifts, masks)):
+        rebuilt = np.zeros(N, np.int64)
+        for s, m in zip(sh, mk):
+            rebuilt += ((np.arange(N) + s) % N) * m.astype(np.int64)
+        np.testing.assert_array_equal(rebuilt, fdm.cb.partner[c])
+
+
+def test_partner_onehot_permutes():
+    fdm = _fdm(chain_model, L=6, beta=0.5)
+    PT = partner_onehot(fdm.cb.partner)
+    u = np.random.default_rng(0).standard_normal(fdm.n_sites).astype(np.float32)
+    for c in range(fdm.cb.n_colors):
+        np.testing.assert_allclose(u @ PT[c], u[fdm.cb.partner[c]], atol=0)
+
+
+@pytest.mark.parametrize("model_fn,kw", [(chain_model, dict(L=6, beta=0.6)),
+                                         (honeycomb_model, dict(L=2, beta=0.6))])
+def test_fused_mtm_matches_xla(model_fn, kw, rng):
+    fdm = _fdm(model_fn, **kw)
+    fused = build_fused_mtm(fdm, interpret=True)
+    assert fused is not None and fused.mode == "roll"
+    v = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    ref = fdm.astype("float32").mul_MtM(v)
+    got = fused(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-6, atol=2e-6)
+
+
+def test_fused_pcg_matches_cg(rng):
+    """Whole-solve fused CG agrees with the reference cg_solve + spectral path."""
+    fdm = _fdm(chain_model, L=6, beta=0.8, alpha=0.4)
+    pre = build_spectral(fdm)
+    fused = build_fused_pcg(fdm, pre, interpret=True)
+    assert fused is not None
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    x_ref, s_ref = cg_solve(
+        fdm.astype("float32").mul_MtM, b, precond=pre.as_operator(), tol=1e-5, maxiter=200
+    )
+    x, s = fused(b, tol=1e-5, maxiter=200)
+    assert bool(s.converged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_pcg_warm_start(rng):
+    """A warm start from the exact solution converges immediately."""
+    fdm = _fdm(chain_model, L=6, beta=0.8, alpha=0.4)
+    pre = build_spectral(fdm)
+    fused = build_fused_pcg(fdm, pre, interpret=True)
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    x, s = fused(b, tol=1e-5, maxiter=200)
+    x2, s2 = fused(b, x0=x, tol=1e-5, maxiter=200)
+    assert int(s2.iters) <= 1
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_solve_mtm_fused_gate_matches(rng, monkeypatch):
+    """solve_MtM routed through the fused path (SMOQY_FUSED_CG=interpret)
+    agrees with the default XLA path."""
+    from smoqyelphqmc_tpu.ops.fermion_det import solve_MtM
+
+    fdm = _fdm(chain_model, L=6, beta=0.8, alpha=0.4)
+    pre = build_spectral(fdm)
+    fdm32 = fdm.astype("float32")  # callers pass dtype-consistent operators (ops/pff.py)
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    monkeypatch.setenv("SMOQY_FUSED_CG", "0")
+    x_ref, _ = solve_MtM(fdm32, b, precond=pre, tol=1e-5, maxiter=200)
+    monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
+    x, s = solve_MtM(fdm32, b, precond=pre, tol=1e-5, maxiter=200)
+    assert bool(s.converged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+    # mixed f64 defect correction with the fused inner solver
+    b64 = b.astype(jnp.float64)
+    x64_ref, _ = solve_MtM(fdm, b64, precond=pre, tol=1e-10, maxiter=400, mixed=False)
+    x64, s64 = solve_MtM(fdm, b64, precond=pre, tol=1e-10, maxiter=400, mixed=True)
+    assert bool(s64.converged)
+    np.testing.assert_allclose(np.asarray(x64), np.asarray(x64_ref), rtol=1e-8, atol=1e-9)
