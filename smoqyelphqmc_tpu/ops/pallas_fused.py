@@ -515,6 +515,153 @@ class FusedPCG:
         return x, CGStats(iters=iters, eps=eps, converged=converged)
 
 
+# ======================================================================
+# Fused force contraction: the fermionic dS_f/dx chain in one kernel
+# ======================================================================
+#
+# After the (fused) CG solve, the XLA force path still walks psi_raw through
+# ~18 separate HBM-round-tripping kernels (mul_M, apply_B, two checkerboard
+# sweeps, mul_Mt, Lambda rolls/divides, channel products — ops/pff.py:
+# fermionic_action_and_force + ops/derivatives.py). For the production
+# Holstein path (symmetric factorization, real hoppings, n_ssh = 0) the whole
+# chain reduces to six checkerboard color sweeps plus elementwise work, all of
+# which fits in VMEM. This kernel reads psi_raw once and emits the two
+# site-local product planes the forces contract against:
+#
+#   P1[l, n] = sum_ch (CB^T A)[ch, l, n] * (CB^{-1} B sgn1 roll(psi))[ch, l, n]
+#       with A = M lam_psi           (M-derivative potential term,
+#                                     fermion_det_matrix_dervative.jl:258-290)
+#   P2[l, n] = sum_ch roll(M^T A, +1)[ch, l, n] * psi[ch, l, n]
+#                                    (Lambda-derivative term,
+#                                     holstein_shift_matrix.jl:156-201)
+#
+# The B-propagator application is SHARED between the derivative column and
+# M lam_psi (B commutes with the +-1 tau boundary-sign column), saving two of
+# the XLA path's eight color sweeps. The per-coupling coefficients (dV/dx,
+# dLambda/dx) and the tiny (n_phonon, Ltau) scatter stay outside in XLA —
+# ops/derivatives.py:holstein_force_from_planes.
+
+
+def _force_kernel(
+    psi_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref, Lam_ref,
+    P1_ref, P2_ref,
+    *, shifts, want_p2,
+):
+    Bc, Ltau, N = psi_ref.shape  # Bc = 2: the re/im channel pair of one system
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+
+    def cb(u, reverse, neg=False):
+        order = reversed(range(n_colors)) if reverse else range(n_colors)
+        for c in order:
+            acc = C_ref[c] * u
+            for k, s in enumerate(shifts[c]):
+                up = pltpu.roll(u, jnp.int32((N - s) % N), 2) if s else u
+                plane = Sk_ref[int(offsets[c]) + k]
+                acc = (acc - plane * up) if neg else (acc + plane * up)
+            u = acc
+        return u
+
+    def apply_B(u):
+        u = cb(u, reverse=True)
+        u = expV_ref[:] * u
+        return cb(u, reverse=False)
+
+    psi_raw = psi_ref[:]
+    Lam = Lam_ref[:]
+    # replicate the XLA op order bit-for-bit: psi = Lambda^{-1} psi_raw,
+    # lam_psi = Lambda psi (identity up to one rounding round-trip)
+    psi = pltpu.roll(psi_raw, jnp.int32(1), 1) / Lam
+    lam_psi = pltpu.roll(Lam * psi, jnp.int32(Ltau - 1), 1)
+    w = apply_B(pltpu.roll(lam_psi, jnp.int32(1), 1))
+    sw = sgn1_ref[:] * w
+    A = lam_psi + sw  # = M lam_psi
+    up2 = cb(A, reverse=True)  # CB^T (transpose = reversed colors)
+    vp2 = cb(sw, reverse=True, neg=True)  # CB^{-1} (reversed colors, S -> -S)
+    P1_ref[:] = up2[0] * vp2[0] + up2[1] * vp2[1]
+    if want_p2:
+        MtA = A + sgnL_ref[:] * pltpu.roll(apply_B(A), jnp.int32(Ltau - 1), 1)
+        MtA1 = pltpu.roll(MtA, jnp.int32(1), 1)
+        P2_ref[:] = MtA1[0] * psi[0] + MtA1[1] * psi[1]
+    else:
+        P2_ref[:] = jnp.zeros((Ltau, N), jnp.float32)
+
+
+class FusedForce:
+    """Fused Holstein force-contraction planes for one fdm + Lambda.
+
+    Call with psi_raw (2, Ltau, N) float32; returns (P1, P2) (Ltau, N) planes
+    consumed by ops/derivatives.py:holstein_force_from_planes."""
+
+    def __init__(self, arrays, shifts, want_p2, interpret):
+        self.arrays = arrays
+        self.shifts = shifts
+        self.want_p2 = want_p2
+        self.interpret = interpret
+
+    def __call__(self, psi_raw: jnp.ndarray):
+        Bc, Ltau, N = psi_raw.shape
+        n_colors = len(self.shifts)
+        n_cls = self.arrays[1].shape[0]
+        kernel = functools.partial(
+            _force_kernel, shifts=self.shifts, want_p2=self.want_p2
+        )
+        # explicit trivial grid + i32 index maps: under vmap (walker batching)
+        # pallas prepends the batch index to THESE maps; a grid-less call would
+        # get auto-generated python-int (i64 under x64) zeros, which Mosaic
+        # cannot legalize (see the i64 index-map pitfall at _Z above)
+        full = lambda *dims: pl.BlockSpec(  # noqa: E731
+            dims, lambda i: tuple(_Z for _ in dims)
+        )
+        P1, P2 = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((Ltau, N), jnp.float32),
+                jax.ShapeDtypeStruct((Ltau, N), jnp.float32),
+            ),
+            grid=(1,),
+            in_specs=[
+                full(Bc, Ltau, N),
+                full(n_colors, 1, Ltau, N),
+                full(n_cls, 1, Ltau, N),
+                full(Ltau, N),
+                full(Ltau, 1),
+                full(Ltau, 1),
+                full(Ltau, N),
+            ],
+            out_specs=(full(Ltau, N), full(Ltau, N)),
+            interpret=self.interpret,
+        )(psi_raw.astype(jnp.float32), *self.arrays)
+        return P1, P2
+
+
+def build_fused_force(fdm, Lam, want_p2: bool, interpret: Optional[bool] = None):
+    """FusedForce for the symmetric real-hopping Holstein-only path; None when
+    the kernel does not apply. Lam is the (Ltau, N) shift matrix the contraction
+    divides by (traced). Call inside the consuming jit (tables must be traced
+    arguments — see build_fused_pcg)."""
+    if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
+        return None
+    cls = shift_classes(fdm.cb.partner)
+    if cls is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    shifts, masks = cls
+    f32 = jnp.float32
+    C = fdm.cb.C.astype(f32)[:, None]
+    S = fdm.cb.S.astype(f32)[:, None]
+    Sk = jnp.concatenate(
+        [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
+    )[:, None]
+    arrays = (
+        C, Sk, fdm.exp_nV.astype(f32),
+        _sign_col(fdm.Ltau, True), _sign_col(fdm.Ltau, False),
+        Lam.astype(f32),
+    )
+    return FusedForce(arrays, shifts, want_p2, interpret)
+
+
 def fused_cg_mode() -> Optional[str]:
     """Trace-time gate for the fused solver: 'compiled' on a real TPU backend,
     'interpret' when SMOQY_FUSED_CG=interpret (CPU testing), None when disabled

@@ -129,6 +129,43 @@ def fermionic_action_and_force(
         warm_start=warm_start,
     )
     Lam = build_lambda(elph, x, fdm.n_sites)
+
+    # Fused Pallas contraction (ops/pallas_fused.py:FusedForce): the whole
+    # dS_f/dx chain below collapses to one VMEM-resident kernel on the
+    # production Holstein path (f32 + symmetric + real hoppings + no SSH).
+    # Trace-time static gate; bit-compatible op ordering with the XLA chain.
+    fused_fc = None
+    if Phi.dtype == jnp.float32 and elph.n_ssh == 0:
+        import os
+
+        from .pallas_fused import build_fused_force, fused_cg_mode
+
+        mode = fused_cg_mode()
+        # OPT-IN (default off): in isolation the fused contraction beats the
+        # XLA chain (scan24 8.9 vs 10.8 ms, scripts/force_ab.py), but inside
+        # the full hmc_update program this toolchain's scheduler degrades the
+        # whole trajectory ~4x (229 vs 61 ms at W=1; worse at smaller Nt) in a
+        # way not reproducible in any isolated slice of the step — tracked as
+        # a Mosaic/XLA interaction, not an algorithmic cost (BENCH.md).
+        if os.environ.get("SMOQY_FUSED_FORCE", "0") != "1":
+            mode = None
+        if mode is not None:
+            import numpy as _np
+
+            want_p2 = bool(_np.any(elph.hol_ph_sym))
+            fused_fc = build_fused_force(
+                fdm, Lam, want_p2, interpret=(mode == "interpret")
+            )
+    if fused_fc is not None:
+        from .derivatives import holstein_force_from_planes
+
+        P1, P2 = fused_fc(res.psi_raw)
+        force = holstein_force_from_planes(P1, P2, elph, x, Lam, plan)
+        return ForceResult(
+            Sf=res.Sf, force=force.astype(jnp.float64), psi_raw=res.psi_raw,
+            stats=res.stats,
+        )
+
     lam_psi = mul_lambda(Lam, res.psi)
     A_psi = fdm.mul_M(lam_psi)
     force = jnp.zeros((elph.n_phonon, elph.Ltau), dtype=Phi.dtype)

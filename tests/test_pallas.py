@@ -92,6 +92,43 @@ def test_fused_pcg_warm_start(rng):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("model_fn,kw", [(chain_model, dict(L=6, beta=0.8, alpha=0.4)),
+                                         (honeycomb_model, dict(L=2, beta=0.6, alpha=0.3)),
+                                         (honeycomb_model, dict(L=2, beta=0.6, alpha=0.3, ph_sym=False))])
+def test_fused_force_matches_xla(model_fn, kw, rng, monkeypatch):
+    """The fused force-contraction kernel reproduces the XLA dS_f/dx chain."""
+    from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+    from smoqyelphqmc_tpu.ops.pff import fermionic_action_and_force, sample_pseudofermion_fields
+    from smoqyelphqmc_tpu.ops.derivatives import build_force_plan
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    geo, tbm, tbp, elph_model, elph = model_fn(**kw)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    plan = build_force_plan(elph, structure)
+    x = jnp.asarray(0.3 * rng.standard_normal(elph.x.shape))
+    fpi = build_path_integral(tbp, elph, x=x)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    pre = build_spectral(fdm)
+    key = jax.random.PRNGKey(7)
+    Phi, _ = sample_pseudofermion_fields(key, elph, fdm, x)
+
+    def run():
+        return fermionic_action_and_force(
+            Phi, elph, fdm, x, plan, precond=pre, tol=1e-5, maxiter=400,
+            solve_dtype="float32",
+        )
+
+    monkeypatch.setenv("SMOQY_FUSED_CG", "0")
+    ref = run()
+    monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
+    monkeypatch.setenv("SMOQY_FUSED_FORCE", "1")  # opt-in (see ops/pff.py gate)
+    got = run()
+    np.testing.assert_allclose(
+        np.asarray(got.force), np.asarray(ref.force), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(float(got.Sf), float(ref.Sf), rtol=2e-5)
+
+
 def test_solve_mtm_fused_gate_matches(rng, monkeypatch):
     """solve_MtM routed through the fused path (SMOQY_FUSED_CG=interpret)
     agrees with the default XLA path."""
