@@ -68,7 +68,20 @@ class SimulationConfig:
     # sqrt(tol) ~ 1e-5); Metropolis exactness rests on the f64 endpoint actions.
     # f32 measured ~30% faster sweeps with identical acceptance (BENCH.md)
     force_dtype: str = "float32"
+    # estimator-refresh solve dtype. None = follow measurement_dtype: the Nrv
+    # random-vector solves only bias observables at the solve tolerance (f32
+    # floor 2e-5), 3-4 orders below the stochastic noise and below the f32
+    # rounding of the stored GR fields; Markov exactness never involves them.
+    # Set 'float64' to recover full-precision measurement solves (BENCH.md A/B)
+    measure_solve_dtype: Optional[str] = None
     n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
+
+
+def _msolve_dtype(cfg: SimulationConfig) -> Optional[str]:
+    """Estimator-refresh solve dtype: explicit cfg.measure_solve_dtype override,
+    else follow cfg.measurement_dtype (None = full-precision rhs dtype)."""
+    dt = cfg.measure_solve_dtype or cfg.measurement_dtype
+    return "float32" if jnp.dtype(dt) == jnp.float32 else None
 
 
 def run_simulation(
@@ -189,7 +202,7 @@ def run_simulation(
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
             est_, fdm, sub, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
-            mixed=cfg.mixed_precision,
+            mixed=cfg.mixed_precision, solve_dtype=_msolve_dtype(cfg),
         )
         out = make_measurements(ctx_, spec, upd.estimator, state_.x)
         n_re, _ = measure_n(upd.estimator)
@@ -202,7 +215,7 @@ def run_simulation(
         fdm = make_fdm(ctx_, state_.x)
         upd = update_greens_estimator(
             est_, fdm, sub, precond=state_.precond, tol=cfg.tol, maxiter=cfg.maxiter,
-            mixed=cfg.mixed_precision,
+            mixed=cfg.mixed_precision, solve_dtype=_msolve_dtype(cfg),
         )
         n_re, _ = measure_n(upd.estimator)
         Nsq_re, _ = measure_Nsqrd(upd.estimator)
@@ -465,6 +478,7 @@ def _run_multiwalker(
         upd = _upd_est(
             est, fdm, key, precond=s1.precond, tol=cfg.tol,
             maxiter=cfg.maxiter, mixed=cfg.mixed_precision,
+            solve_dtype=_msolve_dtype(cfg),
         )
         n_re, _ = _m_n(upd.estimator)
         N2_re, _ = _m_N2(upd.estimator)

@@ -152,14 +152,30 @@ def update_greens_estimator(
     tol: float = 1e-10,
     maxiter: int = 10_000,
     mixed: bool = False,
+    solve_dtype: "str | None" = None,
 ) -> EstimatorUpdate:
     """Draw fresh unit-phase random vectors and solve GR = M^{-1} R in one
-    batched CG (update_greens_estimator!, GreensEstimator.jl:125-175)."""
+    batched CG (update_greens_estimator!, GreensEstimator.jl:125-175).
+
+    solve_dtype='float32' runs the Nrv solves in f32 (riding the fused Pallas
+    solver on TPU). The solve residual enters measurements only as a BIAS of
+    relative size ~tol — at the clamped 2e-5 this sits 3-4 orders below the
+    stochastic estimator noise (~1/sqrt(Nrv)) and below the f32 rounding of the
+    stored GR fields (est.dtype is float32 in the production driver), while the
+    Markov chain's exactness never involves these solves at all. f64 solves
+    exist for validation (solve_dtype=None with float64 inputs)."""
     from ..ops.fermion_det import solve_MtM
 
     theta = jax.random.uniform(key, (est.Nrv, est.Ltau, fdm.n_sites), maxval=2.0 * np.pi)
     R = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=1)  # (Nrv, 2, Ltau, N)
-    MtR = fdm.mul_Mt(R)
+    if solve_dtype is not None and jnp.dtype(solve_dtype) == jnp.float32:
+        fdm = fdm.astype(jnp.float32)
+        R_s = R.astype(jnp.float32)
+        tol = max(tol, 2e-5)  # f32 resolution floor
+        mixed = False
+    else:
+        R_s = R
+    MtR = fdm.mul_Mt(R_s)
     GR, stats = solve_MtM(fdm, MtR, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed)
     dt = jnp.dtype(est.dtype)
     est = est.replace(R=R.astype(dt), GR=GR.astype(dt))

@@ -177,6 +177,23 @@ def _mtm_kernel_mm(v_ref, C_ref, S_ref, PT_ref, expV_ref, sgn1_ref, sgnL_ref, ou
 # func.return (numpy scalar: index maps may not capture traced constants)
 _Z = np.int32(0)
 
+# VMEM budget for the fused kernels (bytes). v5e has ~16 MiB of VMEM per core;
+# leave headroom for Mosaic's own spills/double-buffering. Kernels whose
+# resident-set estimate exceeds this must NOT be built — the caller falls back
+# to the XLA path — otherwise the Mosaic compile hard-fails (observed at
+# L = 18, N = 648 on the headline Ltau = 240; also chunk = 4 at N = 288).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _fits_vmem(Ltau: int, N: int, n_colors: int, n_cls: int, n_state: int,
+               chunk: int, extra: int = 0) -> bool:
+    """Conservative f32 resident-set estimate for one grid step: n_state
+    chunk-sized space-time vectors + the coefficient planes + DFT/eigenbasis
+    matrices (`extra` covers Wre/Wim/Q/filt for the PCG kernel)."""
+    plane = Ltau * N
+    elems = n_state * chunk * plane + (n_colors + n_cls + 2) * plane + extra
+    return elems * 4 <= _VMEM_BUDGET_BYTES
+
 
 def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bool):
     B, Ltau, N = v.shape
@@ -277,11 +294,27 @@ def build_fused_mtm(
     cls = shift_classes(fdm.cb.partner, max_classes=max_classes)
     if cls is not None:
         shifts, masks = cls
+        n_cls_total = sum(len(s) for s in shifts)
+        while max_chunk > 1 and not _fits_vmem(
+            fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 4, max_chunk
+        ):
+            max_chunk //= 2
+        if not _fits_vmem(fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 4, 1):
+            return None
         # fold each class mask into its color's S plane: (n_cls_total, 1, Ltau, N)
         Sk = jnp.concatenate(
             [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
         )[:, None]
         return FusedMtM("roll", (C, Sk, expV, sgn1, sgnL), shifts, interpret, max_chunk)
+    # matmul fallback: the (n_colors, N, N) bf16 permutation matrices join the
+    # resident tables (counted via `extra` in f32-equivalent elements)
+    pt_extra = fdm.cb.n_colors * fdm.n_sites * fdm.n_sites // 2
+    while max_chunk > 1 and not _fits_vmem(
+        fdm.Ltau, fdm.n_sites, fdm.cb.n_colors, fdm.cb.n_colors, 4, max_chunk, pt_extra
+    ):
+        max_chunk //= 2
+    if not _fits_vmem(fdm.Ltau, fdm.n_sites, fdm.cb.n_colors, fdm.cb.n_colors, 4, 1, pt_extra):
+        return None
     PT = jnp.asarray(partner_onehot(fdm.cb.partner)).astype(jnp.bfloat16)
     return FusedMtM("matmul", (C, S, PT, expV, sgn1, sgnL), fdm.cb.n_colors, interpret, max_chunk)
 
@@ -648,6 +681,12 @@ def build_fused_force(fdm, Lam, want_p2: bool, interpret: Optional[bool] = None)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     shifts, masks = cls
+    n_cls_total = sum(len(s) for s in shifts)
+    # channel pair + ~6 live temps next to the tables + Lambda plane
+    if not _fits_vmem(
+        fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 8, 2, fdm.Ltau * fdm.n_sites
+    ):
+        return None
     f32 = jnp.float32
     C = fdm.cb.C.astype(f32)[:, None]
     S = fdm.cb.S.astype(f32)[:, None]
@@ -701,6 +740,18 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     shifts, masks = cls
+    # whole-solve Krylov state (b, x, r, p, z, Ap + preconditioner temps) must
+    # fit VMEM next to the tables + DFT/eigenbasis matrices; reduce the chunk
+    # or refuse (-> XLA fallback) rather than hard-failing the Mosaic compile
+    # (observed at N = 648, Ltau = 240)
+    n_cls_total = sum(len(s) for s in shifts)
+    pcg_extra = 2 * fdm.Ltau * fdm.Ltau + fdm.n_sites * fdm.n_sites
+    while max_chunk > 1 and not _fits_vmem(
+        fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 12, max_chunk, pcg_extra
+    ):
+        max_chunk //= 2
+    if not _fits_vmem(fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 12, 1, pcg_extra):
+        return None
     f32 = jnp.float32
     C = fdm.cb.C.astype(f32)[:, None]
     S = fdm.cb.S.astype(f32)[:, None]

@@ -123,3 +123,32 @@ def test_four_point_contractions_match_wick():
         np.testing.assert_allclose(Cr3[tau, 0], exact, atol=0.08)
         exact_r1 = g(0, 0, (1,), tau) ** 2
         np.testing.assert_allclose(Cr3[tau, 1], exact_r1, atol=0.08)
+
+
+def test_f32_measurement_solves_match_f64():
+    """solve_dtype='float32' estimator refresh (driver default via
+    measurement_dtype) reproduces the f64-solve GR fields and the scalar
+    observables far below stochastic-noise scale."""
+    from smoqyelphqmc_tpu.measure.scalar import measure_n, measure_Nsqrd
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    geo, tbm, tbp, elph_model, elph = chain_model(L=6, beta=1.0, alpha=0.4, seed=3)
+    fpi = build_path_integral(tbp, elph)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    pre = build_spectral(fdm)
+    est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=6, dtype="float32")
+    key = jax.random.PRNGKey(11)
+    upd64 = update_greens_estimator(est, fdm, key, precond=pre, tol=1e-12, maxiter=5000)
+    upd32 = update_greens_estimator(
+        est, fdm, key, precond=pre, tol=1e-12, maxiter=5000, solve_dtype="float32"
+    )
+    assert bool(upd32.converged)
+    np.testing.assert_allclose(
+        np.asarray(upd32.estimator.GR), np.asarray(upd64.estimator.GR),
+        rtol=2e-3, atol=2e-4,
+    )
+    for m in (measure_n, measure_Nsqrd):
+        a, _ = m(upd64.estimator)
+        b, _ = m(upd32.estimator)
+        np.testing.assert_allclose(float(b), float(a), rtol=1e-4, atol=1e-4)

@@ -129,6 +129,30 @@ def test_fused_force_matches_xla(model_fn, kw, rng, monkeypatch):
     np.testing.assert_allclose(float(got.Sf), float(ref.Sf), rtol=2e-5)
 
 
+def test_vmem_gate_refuses_oversize():
+    """Configurations whose Krylov state cannot fit VMEM must fall back to the
+    XLA path (build_* returns None) instead of hard-failing the Mosaic compile
+    (observed at N = 648, Ltau = 240 before the gate)."""
+    from smoqyelphqmc_tpu.ops.pallas_fused import _fits_vmem, build_fused_pcg
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    # headline config fits at chunk 2, not 4; L = 18 (N = 648) fits at none
+    extra = 2 * 240 * 240 + 288 * 288
+    assert _fits_vmem(240, 288, 3, 8, 12, 2, extra)
+    assert not _fits_vmem(240, 288, 3, 8, 12, 4, extra)
+    assert not _fits_vmem(240, 648, 3, 8, 12, 1, 2 * 240 * 240 + 648 * 648)
+
+    # builder-level: a small model still builds the fused solver
+    fdm = _fdm(chain_model, L=6, beta=0.8, alpha=0.4)
+    pre = build_spectral(fdm)
+    assert build_fused_pcg(fdm, pre, interpret=True) is not None
+    # a genuinely large shape is refused regardless of chunk
+    assert not _fits_vmem(800, 1152, 4, 10, 12, 1, 1152 * 1152)
+    from smoqyelphqmc_tpu.ops.pallas_fused import _VMEM_BUDGET_BYTES
+
+    assert _VMEM_BUDGET_BYTES <= 16 * 1024 * 1024  # v5e per-core VMEM
+
+
 def test_solve_mtm_fused_gate_matches(rng, monkeypatch):
     """solve_MtM routed through the fused path (SMOQY_FUSED_CG=interpret)
     agrees with the default XLA path."""
