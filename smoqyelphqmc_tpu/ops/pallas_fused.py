@@ -383,22 +383,33 @@ def _pcg_kernel(
         return m + sgnL_ref[:] * w
 
     def tau_mm(W, u):
-        # contract the tau (sublane) axis per chunk element: (L, L) @ (L, N)
+        # contract the tau (sublane) axis per chunk element: (Lw, L) @ (L, N);
+        # bf16 operands, f32 accumulation — single-pass MXU (a preconditioner
+        # is a fixed SPD map: its internal rounding only nudges the iteration
+        # count, never the CG fixed point)
+        ub = u.astype(jnp.bfloat16)
         return jnp.stack(
-            [jnp.dot(W, u[s], preferred_element_type=jnp.float32) for s in range(Bc)]
+            [jnp.dot(W, ub[s], preferred_element_type=jnp.float32) for s in range(Bc)]
         )
 
     def precond(r):
-        # z = F^H Q diag(filt) Q^T F r  (ops/spectral_precond.py:spectral_apply)
+        # z = F^H Q diag(filt) Q^T F r  (ops/spectral_precond.py:spectral_apply).
+        # HALF-SPECTRUM: for real r the frequency data is conjugate-symmetric
+        # (F[L-1-w] = conj(F[w])) and filt[w] = filt[L-1-w], so only the first
+        # L/2 frequency rows are computed and the pair factor 2 is folded into
+        # filt (build_fused_pcg). Wre/Wim are (Lh, L) bf16; filt is (Lh, N).
         ur = tau_mm(Wre_ref[:], r)
         ui = tau_mm(Wim_ref[:], r)
         Q = Q_ref[:]
+        Lh = ur.shape[-2]
         mm = lambda a: jnp.dot(  # noqa: E731
-            a.reshape(Bc * Ltau, N), Q, preferred_element_type=jnp.float32
-        ).reshape(Bc, Ltau, N)
+            a.reshape(Bc * Lh, N).astype(jnp.bfloat16), Q,
+            preferred_element_type=jnp.float32,
+        ).reshape(Bc, Lh, N)
         mmT = lambda a: jnp.dot(  # noqa: E731
-            a.reshape(Bc * Ltau, N), Q.T, preferred_element_type=jnp.float32
-        ).reshape(Bc, Ltau, N)
+            a.reshape(Bc * Lh, N).astype(jnp.bfloat16), Q.T,
+            preferred_element_type=jnp.float32,
+        ).reshape(Bc, Lh, N)
         ar = mm(ur) * filt_ref[:]
         ai = mm(ui) * filt_ref[:]
         br = mmT(ar)
@@ -474,6 +485,7 @@ def _pcg_call(
     B, Ltau, N = b.shape
     n_colors = len(shifts)
     n_cls = Sk.shape[0]
+    Lh = Wre.shape[0]  # Ltau, or Ltau/2 under half-spectrum symmetry
     kernel = functools.partial(
         _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter, warm=warm
     )
@@ -493,10 +505,10 @@ def _pcg_call(
             pl.BlockSpec((Ltau, N), lambda i: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
-            pl.BlockSpec((Ltau, Ltau), lambda i: (_Z, _Z)),
-            pl.BlockSpec((Ltau, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, Ltau), lambda i: (_Z, _Z)),
             pl.BlockSpec((N, N), lambda i: (_Z, _Z)),
-            pl.BlockSpec((Ltau, N), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, N), lambda i: (_Z, _Z)),
         ],
         out_specs=(
             pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
@@ -744,13 +756,21 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     # fit VMEM next to the tables + DFT/eigenbasis matrices; reduce the chunk
     # or refuse (-> XLA fallback) rather than hard-failing the Mosaic compile
     # (observed at N = 648, Ltau = 240)
+    Ltau = fdm.Ltau
+    N = fdm.n_sites
+    # half-spectrum for even Ltau: conjugate frequency pairs (w, L-1-w) carry
+    # identical filters, so only L/2 rows are computed and the pair factor 2 is
+    # folded into filt — exactly the reference's conjugate-symmetry halving
+    # (KPMPreconditioner.jl:314-335). Odd Ltau keeps the full spectrum.
+    Lh = Ltau // 2 if Ltau % 2 == 0 else Ltau
     n_cls_total = sum(len(s) for s in shifts)
-    pcg_extra = 2 * fdm.Ltau * fdm.Ltau + fdm.n_sites * fdm.n_sites
+    # bf16 DFT/eigenbasis tables count at half an f32 element each
+    pcg_extra = (2 * Lh * Ltau + N * N) // 2 + Lh * N
     while max_chunk > 1 and not _fits_vmem(
-        fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 12, max_chunk, pcg_extra
+        Ltau, N, len(shifts), n_cls_total, 12, max_chunk, pcg_extra
     ):
         max_chunk //= 2
-    if not _fits_vmem(fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 12, 1, pcg_extra):
+    if not _fits_vmem(Ltau, N, len(shifts), n_cls_total, 12, 1, pcg_extra):
         return None
     f32 = jnp.float32
     C = fdm.cb.C.astype(f32)[:, None]
@@ -758,17 +778,17 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     Sk = jnp.concatenate(
         [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
     )[:, None]
-    Ltau = fdm.Ltau
     # dense antiperiodic DFT matrices (ops/fourier.py dft semantics):
-    # W[w, l] = (1/sqrt(L)) exp(-i (2 pi w + pi) l / L)
-    w = np.arange(Ltau)[:, None]
+    # W[w, l] = (1/sqrt(L)) exp(-i (2 pi w + pi) l / L), first Lh rows
+    w = np.arange(Lh)[:, None]
     l = np.arange(Ltau)[None, :]
     ang = -(2.0 * np.pi * w + np.pi) * l / Ltau
-    Wre = jnp.asarray((np.cos(ang) / np.sqrt(Ltau)).astype(np.float32))
-    Wim = jnp.asarray((np.sin(ang) / np.sqrt(Ltau)).astype(np.float32))
+    Wre = jnp.asarray((np.cos(ang) / np.sqrt(Ltau)).astype(np.float32)).astype(jnp.bfloat16)
+    Wim = jnp.asarray((np.sin(ang) / np.sqrt(Ltau)).astype(np.float32)).astype(jnp.bfloat16)
+    pair = 2.0 if Lh < Ltau else 1.0
     arrays = (
         C, Sk, fdm.exp_nV.astype(f32),
         _sign_col(Ltau, True), _sign_col(Ltau, False),
-        Wre, Wim, pre.Q.astype(f32), pre.filt.astype(f32),
+        Wre, Wim, pre.Q.astype(jnp.bfloat16), pair * pre.filt[:Lh].astype(f32),
     )
     return FusedPCG(arrays, shifts, interpret, max_chunk)
