@@ -35,6 +35,11 @@ class FermionPathIntegral:
     dtau: float = static_field()
     Ltau: int = static_field()
     n_sites: int = static_field()
+    # True when t carries NO tau dependence (no SSH couplings): every t[l] row
+    # is the same broadcast of t0. Lets the fused Pallas kernels store the
+    # checkerboard coefficient tables as single (N,) rows instead of full
+    # (Ltau, N) planes (ops/pallas_fused.py) — trace-time static by model shape
+    static_hops: bool = static_field(default=False)
 
 
 def holstein_potential(elph: ElectronPhononParameters, x: jnp.ndarray) -> jnp.ndarray:
@@ -113,4 +118,7 @@ def build_path_integral(
                 t_im = jnp.zeros((Ltau, tbp.n_hops))
             t_im = t_im - t_sc_im.T
 
-    return FermionPathIntegral(V=V, t=t, t_im=t_im, dtau=elph.dtau, Ltau=Ltau, n_sites=n_sites)
+    return FermionPathIntegral(
+        V=V, t=t, t_im=t_im, dtau=elph.dtau, Ltau=Ltau, n_sites=n_sites,
+        static_hops=elph.n_ssh == 0,
+    )

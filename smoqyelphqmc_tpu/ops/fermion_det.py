@@ -55,6 +55,8 @@ class FermionDetMatrix:
     structure: CheckerboardStructure = static_field()
     Ltau: int = static_field()
     n_sites: int = static_field()
+    # tau-independent hoppings (no SSH): fused kernels compress the C/S tables
+    static_hops: bool = static_field(default=False)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -84,6 +86,7 @@ class FermionDetMatrix:
             structure=structure,
             Ltau=fpi.Ltau,
             n_sites=fpi.n_sites,
+            static_hops=fpi.static_hops,
         )
 
     # ------------------------------------------------------------------
@@ -160,6 +163,7 @@ class FermionDetMatrix:
             structure=self.structure,
             Ltau=self.Ltau,
             n_sites=self.n_sites,
+            static_hops=self.static_hops,
         )
 
     @property

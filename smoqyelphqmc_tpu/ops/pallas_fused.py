@@ -195,10 +195,31 @@ def _fits_vmem(Ltau: int, N: int, n_colors: int, n_cls: int, n_state: int,
     return elems * 4 <= _VMEM_BUDGET_BYTES
 
 
+def _cb_tables(fdm):
+    """(C, Sk-ready S) coefficient planes for the roll-class kernels.
+
+    For static hoppings (no SSH: every tau row identical) the tables compress
+    to single (.., 1, N) rows — broadcasting inside the kernel reproduces the
+    full plane bit-for-bit while cutting the VMEM-resident table set ~Ltau x,
+    which is what lets the whole-solve kernel fit at large N."""
+    f32 = jnp.float32
+    C = fdm.cb.C
+    S = fdm.cb.S
+    if fdm.static_hops:
+        C = C[:, :1]
+        S = S[:, :1]
+    return C.astype(f32)[:, None], S.astype(f32)[:, None]
+
+
+def _fold_masks(S, masks, n_colors):
+    """(n_cls_total, 1, Lc, N) per-(color, class) masked S planes."""
+    return jnp.concatenate(
+        [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(n_colors)]
+    )[:, None]
+
+
 def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bool):
     B, Ltau, N = v.shape
-    n_colors = len(shifts)
-    n_cls = Sk.shape[0]
     kernel = functools.partial(_mtm_kernel_roll, shifts=shifts)
     return pl.pallas_call(
         kernel,
@@ -206,8 +227,8 @@ def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bo
         grid=(B // chunk,),
         in_specs=[
             pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
-            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
-            pl.BlockSpec((n_cls, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(C.shape, lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(Sk.shape, lambda b: (_Z, _Z, _Z, _Z)),
             pl.BlockSpec((Ltau, N), lambda b: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
@@ -226,8 +247,8 @@ def _mtm_mm_call(v, C, S, PT, expV, sgn1, sgnL, n_colors: int, chunk: int, inter
         grid=(B // chunk,),
         in_specs=[
             pl.BlockSpec((chunk, Ltau, N), lambda b: (b, _Z, _Z)),
-            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
-            pl.BlockSpec((n_colors, 1, Ltau, N), lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(C.shape, lambda b: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(S.shape, lambda b: (_Z, _Z, _Z, _Z)),
             pl.BlockSpec((n_colors, N, N), lambda b: (_Z, _Z, _Z)),
             pl.BlockSpec((Ltau, N), lambda b: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda b: (_Z, _Z)),
@@ -286,8 +307,7 @@ def build_fused_mtm(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     f32 = jnp.float32
-    C = fdm.cb.C.astype(f32)[:, None]  # (nc, 1, Ltau, N): broadcast over chunk
-    S = fdm.cb.S.astype(f32)[:, None]
+    C, S = _cb_tables(fdm)  # (nc, 1, Lc, N), Lc = 1 for static hoppings
     expV = fdm.exp_nV.astype(f32)
     sgn1 = _sign_col(fdm.Ltau, first=True)
     sgnL = _sign_col(fdm.Ltau, first=False)
@@ -295,25 +315,28 @@ def build_fused_mtm(
     if cls is not None:
         shifts, masks = cls
         n_cls_total = sum(len(s) for s in shifts)
+        # table elements (static hoppings: rows, not planes) counted via extra
+        Lc = C.shape[2]
+        tab = (len(shifts) + n_cls_total) * Lc * fdm.n_sites
         while max_chunk > 1 and not _fits_vmem(
-            fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 4, max_chunk
+            fdm.Ltau, fdm.n_sites, 0, 0, 4, max_chunk, tab
         ):
             max_chunk //= 2
-        if not _fits_vmem(fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 4, 1):
+        if not _fits_vmem(fdm.Ltau, fdm.n_sites, 0, 0, 4, 1, tab):
             return None
-        # fold each class mask into its color's S plane: (n_cls_total, 1, Ltau, N)
-        Sk = jnp.concatenate(
-            [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
-        )[:, None]
+        Sk = _fold_masks(S, masks, len(shifts))
         return FusedMtM("roll", (C, Sk, expV, sgn1, sgnL), shifts, interpret, max_chunk)
     # matmul fallback: the (n_colors, N, N) bf16 permutation matrices join the
     # resident tables (counted via `extra` in f32-equivalent elements)
-    pt_extra = fdm.cb.n_colors * fdm.n_sites * fdm.n_sites // 2
+    pt_extra = (
+        fdm.cb.n_colors * fdm.n_sites * fdm.n_sites // 2
+        + 2 * fdm.cb.n_colors * C.shape[2] * fdm.n_sites
+    )
     while max_chunk > 1 and not _fits_vmem(
-        fdm.Ltau, fdm.n_sites, fdm.cb.n_colors, fdm.cb.n_colors, 4, max_chunk, pt_extra
+        fdm.Ltau, fdm.n_sites, 0, 0, 4, max_chunk, pt_extra
     ):
         max_chunk //= 2
-    if not _fits_vmem(fdm.Ltau, fdm.n_sites, fdm.cb.n_colors, fdm.cb.n_colors, 4, 1, pt_extra):
+    if not _fits_vmem(fdm.Ltau, fdm.n_sites, 0, 0, 4, 1, pt_extra):
         return None
     PT = jnp.asarray(partner_onehot(fdm.cb.partner)).astype(jnp.bfloat16)
     return FusedMtM("matmul", (C, S, PT, expV, sgn1, sgnL), fdm.cb.n_colors, interpret, max_chunk)
@@ -418,8 +441,13 @@ def _pcg_kernel(
         return tau_mm(Wre_ref[:].T, br) + tau_mm(Wim_ref[:].T, bi)
 
     def sdot(a, b):
-        # per-system scalar: (Bc, Ltau, N) -> (Bc, 1)
-        return jnp.sum(jnp.sum(a * b, axis=2), axis=1, keepdims=True)
+        # per-system scalar: (Bc, Ltau, N) -> (Bc, 1). Reduce the sublane
+        # (tau) axis FIRST with keepdims: reducing lanes first leaves a
+        # (Bc, Ltau) row vector whose singleton-row relayout Mosaic rejects at
+        # chunk = 1, and a fused axis=(1,2) sum produces a rank-1 vector that
+        # crashes layout inference outright
+        s = jnp.sum(a * b, axis=1, keepdims=True)  # (Bc, 1, N)
+        return jnp.sum(s, axis=2)  # (Bc, 1)
 
     def col(s):  # (Bc, 1) -> (Bc, 1, 1) for broadcasting against vectors
         return s[:, :, None]
@@ -483,8 +511,6 @@ def _pcg_call(
     shifts, tol: float, maxiter: int, chunk: int, warm: bool, interpret: bool,
 ):
     B, Ltau, N = b.shape
-    n_colors = len(shifts)
-    n_cls = Sk.shape[0]
     Lh = Wre.shape[0]  # Ltau, or Ltau/2 under half-spectrum symmetry
     kernel = functools.partial(
         _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter, warm=warm
@@ -500,8 +526,8 @@ def _pcg_call(
         in_specs=[
             pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
             pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
-            pl.BlockSpec((n_colors, 1, Ltau, N), lambda i: (_Z, _Z, _Z, _Z)),
-            pl.BlockSpec((n_cls, 1, Ltau, N), lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(C.shape, lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(Sk.shape, lambda i: (_Z, _Z, _Z, _Z)),
             pl.BlockSpec((Ltau, N), lambda i: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
             pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
@@ -646,8 +672,6 @@ class FusedForce:
 
     def __call__(self, psi_raw: jnp.ndarray):
         Bc, Ltau, N = psi_raw.shape
-        n_colors = len(self.shifts)
-        n_cls = self.arrays[1].shape[0]
         kernel = functools.partial(
             _force_kernel, shifts=self.shifts, want_p2=self.want_p2
         )
@@ -658,6 +682,7 @@ class FusedForce:
         full = lambda *dims: pl.BlockSpec(  # noqa: E731
             dims, lambda i: tuple(_Z for _ in dims)
         )
+        C, Sk = self.arrays[0], self.arrays[1]
         P1, P2 = pl.pallas_call(
             kernel,
             out_shape=(
@@ -667,8 +692,8 @@ class FusedForce:
             grid=(1,),
             in_specs=[
                 full(Bc, Ltau, N),
-                full(n_colors, 1, Ltau, N),
-                full(n_cls, 1, Ltau, N),
+                full(*C.shape),
+                full(*Sk.shape),
                 full(Ltau, N),
                 full(Ltau, 1),
                 full(Ltau, 1),
@@ -694,17 +719,15 @@ def build_fused_force(fdm, Lam, want_p2: bool, interpret: Optional[bool] = None)
         interpret = jax.default_backend() == "cpu"
     shifts, masks = cls
     n_cls_total = sum(len(s) for s in shifts)
+    f32 = jnp.float32
+    C, S = _cb_tables(fdm)
     # channel pair + ~6 live temps next to the tables + Lambda plane
+    tab = (len(shifts) + n_cls_total) * C.shape[2] * fdm.n_sites
     if not _fits_vmem(
-        fdm.Ltau, fdm.n_sites, len(shifts), n_cls_total, 8, 2, fdm.Ltau * fdm.n_sites
+        fdm.Ltau, fdm.n_sites, 0, 0, 8, 2, fdm.Ltau * fdm.n_sites + tab
     ):
         return None
-    f32 = jnp.float32
-    C = fdm.cb.C.astype(f32)[:, None]
-    S = fdm.cb.S.astype(f32)[:, None]
-    Sk = jnp.concatenate(
-        [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
-    )[:, None]
+    Sk = _fold_masks(S, masks, len(shifts))
     arrays = (
         C, Sk, fdm.exp_nV.astype(f32),
         _sign_col(fdm.Ltau, True), _sign_col(fdm.Ltau, False),
@@ -764,20 +787,22 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     # (KPMPreconditioner.jl:314-335). Odd Ltau keeps the full spectrum.
     Lh = Ltau // 2 if Ltau % 2 == 0 else Ltau
     n_cls_total = sum(len(s) for s in shifts)
-    # bf16 DFT/eigenbasis tables count at half an f32 element each
-    pcg_extra = (2 * Lh * Ltau + N * N) // 2 + Lh * N
+    C, S = _cb_tables(fdm)  # static hoppings: (.., 1, N) rows, not planes
+    Lc = C.shape[2]
+    # bf16 DFT/eigenbasis tables count at half an f32 element each; the C/Sk
+    # coefficient tables are counted at their true (possibly compressed) size
+    pcg_extra = (
+        (2 * Lh * Ltau + N * N) // 2 + Lh * N
+        + (len(shifts) + n_cls_total) * Lc * N
+    )
     while max_chunk > 1 and not _fits_vmem(
-        Ltau, N, len(shifts), n_cls_total, 12, max_chunk, pcg_extra
+        Ltau, N, 0, 0, 12, max_chunk, pcg_extra
     ):
         max_chunk //= 2
-    if not _fits_vmem(Ltau, N, len(shifts), n_cls_total, 12, 1, pcg_extra):
+    if not _fits_vmem(Ltau, N, 0, 0, 12, 1, pcg_extra):
         return None
     f32 = jnp.float32
-    C = fdm.cb.C.astype(f32)[:, None]
-    S = fdm.cb.S.astype(f32)[:, None]
-    Sk = jnp.concatenate(
-        [S[c] * jnp.asarray(masks[c])[:, None, :] for c in range(len(shifts))]
-    )[:, None]
+    Sk = _fold_masks(S, masks, len(shifts))
     # dense antiperiodic DFT matrices (ops/fourier.py dft semantics):
     # W[w, l] = (1/sqrt(L)) exp(-i (2 pi w + pi) l / L), first Lh rows
     w = np.arange(Lh)[:, None]
