@@ -242,8 +242,12 @@ def _phonon_greens(C, ctx: QMCContext, est: GreensEstimator, x: jnp.ndarray, pa:
     tau (delegated to SmoQyDQMC in the reference, make_measurements.jl:717-768)."""
     elph = ctx.elph
     nc = elph.n_cells
-    xa = x[pa * nc : (pa + 1) * nc, :].T.reshape((elph.Ltau,) + est.L)
-    xb = x[pb * nc : (pb + 1) * nc, :].T.reshape((elph.Ltau,) + est.L)
+    # contraction-engine dtype (f32 in production): the f64 phonon field would
+    # otherwise promote the whole FFT chain to f64 — emulated and ~10x slower
+    # on TPU — for a rounding level 5 orders below the statistical noise
+    dt = est.R.dtype
+    xa = x[pa * nc : (pa + 1) * nc, :].T.reshape((elph.Ltau,) + est.L).astype(dt)
+    xb = x[pb * nc : (pb + 1) * nc, :].T.reshape((elph.Ltau,) + est.L).astype(dt)
     za = jnp.zeros_like(xa)
     Sr, Si = est.xcorr_accumulate(xa, za, xb, za, doubled=False)
     Cr = jnp.concatenate([Sr, Sr[0][None]], axis=0)
