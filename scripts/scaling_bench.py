@@ -57,8 +57,8 @@ def main():
     print(f"device: {jax.devices()[0].platform}")
     print("| L | N | matvec ms | spectral: refresh/solve ms (iters) | "
           "kpm: refresh/solve ms (iters) | none: solve ms (iters) | "
-          "est sweep ms spectral/kpm |")
-    print("|---|---|---|---|---|---|---|")
+          "f32 force solve ms (iters) | est sweep ms spectral/kpm |")
+    print("|---|---|---|---|---|---|---|---|")
     rows = []
     for L in sizes:
         fdm = build_case(L=L)
@@ -94,6 +94,26 @@ def main():
                 print(f"  {label} failed at L={L}: {e}", file=sys.stderr)
                 results[label] = (float("nan"),) * 3
 
+        # production force-solve path: f32 solve_MtM (rides the fused Pallas
+        # whole-solve kernel where VMEM allows, XLA CG otherwise)
+        try:
+            from smoqyelphqmc_tpu.ops.fermion_det import solve_MtM
+            from smoqyelphqmc_tpu.ops.pallas_fused import build_fused_pcg
+
+            pre32 = jax.jit(lambda f: build_spectral(f, dtype="float32"))(fdm)
+            fused = build_fused_pcg(fdm.astype(jnp.float32), pre32) is not None
+            s32 = jax.jit(
+                lambda f, p, b: solve_MtM(f, b, precond=p, tol=1e-5, maxiter=2000)
+            )
+            v32 = v.astype(jnp.float32)
+            x32, st32 = s32(fdm, pre32, v32)
+            jax.block_until_ready(x32)
+            t_f32 = timeit(lambda b: s32(fdm, pre32, b)[0], v32, n=5) * 1e3
+            f32_col = f"{t_f32:.1f} ({int(st32.iters)}{', fused' if fused else ''})"
+        except Exception as e:  # pragma: no cover
+            print(f"  f32 solve failed at L={L}: {e}", file=sys.stderr)
+            f32_col = "nan"
+
         sp, kp, no = results["spectral"], results["kpm"], results["none"]
         sweep_sp = 27 * sp[1] + 3 * sp[0]
         sweep_kp = 27 * kp[1] + 3 * kp[0]
@@ -101,7 +121,7 @@ def main():
         print(
             f"| {L} | {N} | {t_mv:.3f} | {sp[0]:.1f}/{sp[1]:.1f} ({sp[2]}) | "
             f"{kp[0]:.1f}/{kp[1]:.1f} ({kp[2]}) | {no[1]:.1f} ({no[2]}) | "
-            f"{sweep_sp:.0f}/{sweep_kp:.0f} |",
+            f"{f32_col} | {sweep_sp:.0f}/{sweep_kp:.0f} |",
             flush=True,
         )
 

@@ -225,6 +225,10 @@ def solve_MtM(
     # an f32 right-hand side IS the low-precision system: defect correction
     # would add nothing (the f32 solve already meets any tol >= f32 resolution)
     mixed = mixed and rhs.dtype == jnp.float64
+    # an f32 rhs against f64 propagator tables would promote the matvec back
+    # to f64 and break the while-loop carry dtypes — the f32 request wins
+    if rhs.dtype == jnp.float32 and not mixed and fdm.exp_nV.dtype != jnp.float32:
+        fdm = fdm.astype(jnp.float32)
     fused = None
     if rhs.dtype == jnp.float32 or mixed:
         from .pallas_fused import fused_cg_mode, build_fused_pcg

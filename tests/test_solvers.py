@@ -131,3 +131,26 @@ def test_kpm_update_is_jittable():
     r = jnp.ones((2, fdm.Ltau, fdm.n_sites))
     z = jax.jit(kpm_apply)(pre2, r)
     assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_solve_mtm_f32_rhs_f64_matrix():
+    """An f32 rhs against f64 propagator tables must solve in f32 (the request
+    wins) instead of crashing the while-loop carry with promoted dtypes —
+    regression for the XLA fallback path of large configs."""
+    import jax.numpy as jnp
+
+    from smoqyelphqmc_tpu.ops.fermion_det import solve_MtM
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    fdm = _fdm(chain_model, L=4, beta=1.0, alpha=0.4)
+    assert fdm.exp_nV.dtype == jnp.float64
+    pre = build_spectral(fdm)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(
+        rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), dtype=jnp.float32
+    )
+    x, st = solve_MtM(fdm, b, precond=pre, tol=1e-5, maxiter=2000)
+    assert x.dtype == jnp.float32
+    assert bool(st.converged)
+    r = fdm.mul_MtM(x.astype(jnp.float64)) - b.astype(jnp.float64)
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 5e-5
