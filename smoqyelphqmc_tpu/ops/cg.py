@@ -123,6 +123,7 @@ def cg_solve_mixed(
     max_outer: int = 12,
     sys_ndim: int = 2,
     inner_solver: Optional[Callable] = None,
+    x0: Optional[jnp.ndarray] = None,
 ):
     """Mixed-precision defect-correction (reliable-update) CG.
 
@@ -136,7 +137,13 @@ def cg_solve_mixed(
     Each outer cycle gains ~inner_tol in relative residual, so reaching 1e-10
     takes 2-3 cycles of cheap f32 iterations plus a handful of f64 matvecs.
 
-    apply_A_low (and the preconditioner) operate on float32 arrays.
+    apply_A_low (and the preconditioner) operate on float32 arrays. `x0`
+    warm-starts the correction (e.g. with the f32 force solution carried along
+    an HMC trajectory): its f64 residual is already ~inner_tol, so the first
+    full-scale inner cycle is skipped entirely. The loop order is
+    correct-then-check, so the f64 residual matvec runs exactly once per
+    correction (plus one for a warm start) — a cold solve's first residual is
+    just b, and the converged eps doubles as the final check.
     """
     if precond is None:
         precond = lambda r: r
@@ -144,43 +151,41 @@ def cg_solve_mixed(
     normb = jnp.sqrt(_sys_dot(b, b, sys_ndim))
     safe_normb = jnp.where(normb > 0, normb, 1.0)
 
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0.astype(b.dtype)
+        r = b - apply_A(x)
+    eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
+    done = jnp.all(eps < tol)
+
     def outer_cond(carry):
-        x, eps, it_total, outer, done = carry
+        x, r, eps, it_total, outer, done = carry
         return jnp.logical_and(~done, outer < max_outer)
 
     def outer_body(carry):
-        x, eps, it_total, outer, done = carry
+        x, r, eps, it_total, outer, done = carry
+        if inner_solver is not None:
+            # e.g. the VMEM-resident fused Pallas PCG (ops/pallas_fused.py)
+            e32, stats = inner_solver(r.astype(jnp.float32), inner_tol, maxiter)
+        else:
+            e32, stats = cg_solve(
+                apply_A_low,
+                r.astype(jnp.float32),
+                precond=precond,
+                tol=inner_tol,
+                maxiter=maxiter,
+                sys_ndim=sys_ndim,
+            )
+        x = x + e32.astype(x.dtype)
         r = b - apply_A(x)
         eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
         done = jnp.all(eps < tol)
+        return (x, r, eps, it_total + stats.iters, outer + 1, done)
 
-        def correct(args):
-            x, r, it_total = args
-            if inner_solver is not None:
-                # e.g. the VMEM-resident fused Pallas PCG (ops/pallas_fused.py)
-                e32, stats = inner_solver(r.astype(jnp.float32), inner_tol, maxiter)
-            else:
-                e32, stats = cg_solve(
-                    apply_A_low,
-                    r.astype(jnp.float32),
-                    precond=precond,
-                    tol=inner_tol,
-                    maxiter=maxiter,
-                    sys_ndim=sys_ndim,
-                )
-            x = x + e32.astype(x.dtype)
-            return x, it_total + stats.iters
-
-        x, it_total = lax.cond(done, lambda a: (a[0], a[2]), correct, (x, r, it_total))
-        return (x, eps, it_total, outer + 1, done)
-
-    x = jnp.zeros_like(b)
-    eps = jnp.ones(b.shape[:-sys_ndim])
-    carry = (x, eps, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    x, eps, it_total, outer, done = lax.while_loop(outer_cond, outer_body, carry)
-    # final residual check
-    r = b - apply_A(x)
-    eps = jnp.sqrt(_sys_dot(r, r, sys_ndim)) / safe_normb
+    carry = (x, r, eps, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), done)
+    x, r, eps, it_total, outer, done = lax.while_loop(outer_cond, outer_body, carry)
     finite = jnp.all(jnp.isfinite(x))
     converged = jnp.logical_and(finite, jnp.all(eps < tol))
     return x, CGStats(iters=it_total, eps=eps, converged=converged)

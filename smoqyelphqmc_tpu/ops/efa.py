@@ -81,10 +81,26 @@ class FourierAccelerator:
         return 0.5 * jnp.sum((pr**2 + pi**2) * inv_m) / self.Ltau
 
     # ------------------------------------------------------------------
-    def evolve(self, x: jnp.ndarray, p: jnp.ndarray, t) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Exact harmonic rotation of (x, p) by time t (evolve_eom!)."""
-        xr, xi = self.fwd.apply(x, None, axis=1)
-        pr, pi = self.fwd.apply(p, None, axis=1)
+    # omega-space representation: the HMC trajectory carries (x, p) as DFT
+    # pairs in the (unnormalized) fwd convention, so the exact drift is a pure
+    # elementwise rotation and each leapfrog step costs only ONE inverse DFT
+    # (x to tau-space for the force) plus ONE forward DFT (the force kick) —
+    # the f64 DFT matmuls are software-emulated on TPU and dominated the
+    # per-step cost when evolve() round-tripped both x and p every drift.
+    # ------------------------------------------------------------------
+    def to_omega(self, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """tau -> omega (fwd-DFT convention): (re, im) pair."""
+        return self.fwd.apply(v, None, axis=1)
+
+    def to_tau(self, vr: jnp.ndarray, vi: jnp.ndarray) -> jnp.ndarray:
+        """omega -> tau; the imaginary part vanishes by the k -> Ltau-k symmetry
+        of every operation performed in omega space."""
+        return self.inv.apply(vr, vi, axis=1)[0]
+
+    def rotate_omega(self, xw, pw, t):
+        """Exact harmonic rotation of omega-space (x, p) by time t — elementwise."""
+        xr, xi = xw
+        pr, pi = pw
         m = self.m
         Q = self.Q
         live = m > 0
@@ -99,6 +115,33 @@ class FourierAccelerator:
         xi_new = jnp.where(osc, xi * c + pi * s * inv_mw, xi + t * pi * inv_m)
         pr_new = jnp.where(osc, pr * c - xr * m * omega * s, pr)
         pi_new = jnp.where(osc, pi * c - xi * m * omega * s, pi)
-        x_out, _ = self.inv.apply(xr_new, xi_new, axis=1)
-        p_out, _ = self.inv.apply(pr_new, pi_new, axis=1)
-        return x_out, p_out
+        return (xr_new, xi_new), (pr_new, pi_new)
+
+    def kick_omega(self, pw, force: jnp.ndarray, dt):
+        """p <- p - dt * force, applied in omega space (the DFT is linear, so
+        this is exactly the tau-space kick transformed)."""
+        fr, fi = self.fwd.apply(force, None, axis=1)
+        return (pw[0] - dt * fr, pw[1] - dt * fi)
+
+    def sample_momentum_omega(self, key) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        """Sample p_omega = sqrt(m) F xi (identically distributed to
+        F(initialize_momentum): F F^{-1} sqrt(m) F xi = sqrt(m) F xi) and its
+        kinetic energy — no inverse transform needed."""
+        n_ph = self.m.shape[0]
+        xi = jax.random.normal(key, (n_ph, self.Ltau))
+        xr, xi_im = self.fwd.apply(xi, None, axis=1)
+        s = jnp.sqrt(self.m)
+        pw = (s * xr, s * xi_im)
+        return pw, self.kinetic_energy_omega(pw)
+
+    def kinetic_energy_omega(self, pw) -> jnp.ndarray:
+        """K = (1/2) sum_k |p_k|^2 / m_k in the unnormalized-fwd convention."""
+        pr, pi = pw
+        inv_m = jnp.where(self.m > 0, 1.0 / jnp.where(self.m > 0, self.m, 1.0), 0.0)
+        return 0.5 * jnp.sum((pr**2 + pi**2) * inv_m) / self.Ltau
+
+    # ------------------------------------------------------------------
+    def evolve(self, x: jnp.ndarray, p: jnp.ndarray, t) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact harmonic rotation of (x, p) by time t (evolve_eom!)."""
+        xw, pw = self.rotate_omega(self.to_omega(x), self.to_omega(p), t)
+        return self.to_tau(*xw), self.to_tau(*pw)

@@ -250,7 +250,7 @@ def solve_MtM(
             inner = lambda r32, it, mi: fused(r32, tol=it, maxiter=mi)
         return cg_solve_mixed(
             fdm.mul_MtM, fdm32.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter,
-            sys_ndim=sys_ndim, inner_solver=inner,
+            sys_ndim=sys_ndim, inner_solver=inner, x0=x0,
         )
     return cg_solve(
         fdm.mul_MtM, rhs, precond=pre_op, tol=tol, maxiter=maxiter, sys_ndim=sys_ndim, x0=x0

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.electron_phonon import ElectronPhononParameters
-from ..models.fermion_path_integral import build_path_integral
+from ..models.fermion_path_integral import FermionPathIntegral, build_path_integral
 from ..models.tight_binding import TightBindingParameters
 from ..ops.checkerboard import CheckerboardStructure, build_checkerboard_structure
 from ..ops.derivatives import ForcePlan, build_force_plan
@@ -69,8 +69,26 @@ class QMCState:
     precond: Optional[object]  # carried preconditioner state (KPM/spectral) or None
 
 
-def make_fdm(ctx: QMCContext, x: jnp.ndarray) -> FermionDetMatrix:
+def make_fdm(ctx: QMCContext, x: jnp.ndarray, dtype=None) -> FermionDetMatrix:
+    """Propagator factors at phonon field x.
+
+    dtype='float32' casts (V, t) BEFORE exponentiation so the exp/cosh/sinh
+    transcendentals run in hardware f32 instead of software-emulated f64 — the
+    dominant per-leapfrog-step cost on TPU. Only the force path uses this
+    (forces shape proposals; Metropolis exactness rests on the f64 endpoint
+    actions, which keep the default f64 tables). exp(f32 V) and
+    exp(f64 V).astype(f32) differ by <= 1 ulp f32, far below the force solve
+    tolerance sqrt(tol) ~ 1e-5."""
     fpi = build_path_integral(ctx.tbp, ctx.elph, x)
+    if dtype is not None and jnp.dtype(dtype) != fpi.V.dtype:
+        dt = jnp.dtype(dtype)
+        fpi = FermionPathIntegral(
+            V=fpi.V.astype(dt),
+            t=fpi.t.astype(dt),
+            t_im=None if fpi.t_im is None else fpi.t_im.astype(dt),
+            dtau=fpi.dtau, Ltau=fpi.Ltau, n_sites=fpi.n_sites,
+            static_hops=fpi.static_hops,
+        )
     return FermionDetMatrix.from_path_integral(fpi, ctx.structure, symmetric=ctx.symmetric)
 
 

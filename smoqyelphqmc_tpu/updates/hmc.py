@@ -62,6 +62,9 @@ def hmc_update(
 ) -> tuple[QMCState, HMCStats]:
     """One EFA-PFF-HMC trajectory (hmc_update!, EFAPFFHMCUpdater.jl:102-279)."""
     elph, efa = ctx.elph, ctx.efa
+    # trace-time flag: a non-identity recenter acts in tau space, forcing a
+    # re-transform of x after each drift (see omega-space trajectory below)
+    has_recenter = recenter is not None
     recenter = recenter or (lambda x: x)
     Nt = params.Nt
     base_dt = params.timestep()
@@ -79,12 +82,21 @@ def hmc_update(
 
     Phi, Sf0 = sample_pseudofermion_fields(k_phi, elph, fdm0, x0)
     Sb0 = bosonic_action(elph, x0)
-    p, K0 = efa.initialize_momentum(k_mom)
+    # the trajectory carries (x, p) in omega space: the exact drift is then an
+    # elementwise rotation, and each leapfrog step pays only one inverse DFT
+    # (x to tau for the force) + one forward DFT (the force kick) instead of
+    # four full transforms per evolve() — the f64 DFT matmuls are emulated on
+    # TPU and dominated the per-step cost (BENCH.md)
+    pw, K0 = efa.sample_momentum_omega(k_mom)
     H0 = Sf0 + Sb0 + K0
 
     # initial half drift
-    x, p = efa.evolve(x0, p, dt / 2.0)
-    x = recenter(x)
+    xw = efa.to_omega(x0)
+    xw, pw = efa.rotate_omega(xw, pw, dt / 2.0)
+    x = efa.to_tau(*xw)
+    if has_recenter:
+        x = recenter(x)
+        xw = efa.to_omega(x)
 
     # warm-start carry: consecutive trajectory solves share Phi and differ by
     # one leapfrog drift of x, so each solve starts from an extrapolation of the
@@ -96,9 +108,14 @@ def hmc_update(
     psi_prev = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
     psi_prev2 = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
 
+    # force-path propagator tables in f32: the exp/cosh/sinh transcendentals are
+    # software-emulated in f64 on TPU and dominate the per-leapfrog-step cost;
+    # forces only shape the proposal (endpoint actions below keep f64 tables)
+    force_tab_dt = None if jnp.dtype(ctx.force_dtype) == jnp.float64 else ctx.force_dtype
+
     def step(carry, t):
-        x, p, precond, psi_prev, psi_prev2, iters_sum, ok = carry
-        fdm = make_fdm(ctx, x)
+        x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
+        fdm = make_fdm(ctx, x, dtype=force_tab_dt)
         k_pre = jax.random.fold_in(k_pre0, t + 1)
         if precond is not None and params.refresh_precond_every_step:
             precond = refresh_preconditioner(precond, fdm, k_pre)
@@ -116,16 +133,19 @@ def hmc_update(
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
         ok = ok & res.stats.converged & jnp.all(jnp.isfinite(force))
-        p = p - dt * force
+        pw = efa.kick_omega(pw, force, dt)
         dt_drift = jnp.where(t == Nt - 1, dt / 2.0, dt)
-        x, p = efa.evolve(x, p, dt_drift)
-        x = recenter(x)
+        xw, pw = efa.rotate_omega(xw, pw, dt_drift)
+        x = efa.to_tau(*xw)
+        if has_recenter:
+            x = recenter(x)
+            xw = efa.to_omega(x)
         iters_sum = iters_sum + res.stats.iters
-        return (x, p, precond, psi_prev, psi_prev2, iters_sum, ok), None
+        return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
 
-    (x, p, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
+    (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
         step,
-        (x, p, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+        (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
         jnp.arange(Nt),
     )
 
@@ -140,7 +160,7 @@ def hmc_update(
     )
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)
-    K1 = efa.kinetic_energy(p)
+    K1 = efa.kinetic_energy_omega(pw)
     H1 = res1.Sf + Sb1 + K1
     dH = H1 - H0
     iters_sum = iters_sum + res1.stats.iters

@@ -95,3 +95,39 @@ def test_f32_force_hmc_acceptance():
         assert bool(stats.converged)
         acc += int(stats.accepted)
     assert acc >= 3
+
+
+def test_mixed_cg_warm_start(rng):
+    """A warm start near the solution must (a) converge to the same f64 answer
+    and (b) spend strictly fewer inner f32 iterations than the cold solve —
+    the trajectory-endpoint action solve relies on this (updates/hmc.py)."""
+    fdm = _fdm(L=2, beta=2.0, dtau=0.1, alpha=0.5)
+    fdm32 = fdm.astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)))
+    pre = build_spectral(fdm, dtype="float32")
+    x_cold, s_cold = cg_solve_mixed(
+        fdm.mul_MtM, fdm32.mul_MtM, b, precond=pre.as_operator(), tol=1e-10, maxiter=4000
+    )
+    assert bool(s_cold.converged)
+    # f32-accuracy warm start (what psi_prev provides along a trajectory)
+    x0 = x_cold.astype(jnp.float32).astype(jnp.float64)
+    x_warm, s_warm = cg_solve_mixed(
+        fdm.mul_MtM, fdm32.mul_MtM, b, precond=pre.as_operator(), tol=1e-10, maxiter=4000,
+        x0=x0,
+    )
+    assert bool(s_warm.converged)
+    np.testing.assert_allclose(np.asarray(x_warm), np.asarray(x_cold), rtol=1e-7, atol=1e-10)
+    assert int(s_warm.iters) < int(s_cold.iters), (int(s_warm.iters), int(s_cold.iters))
+
+
+def test_mixed_cg_warm_start_already_converged(rng):
+    """x0 already at the f64 solution: zero corrections, converged immediately."""
+    fdm = _fdm(L=2, beta=1.0, dtau=0.1, alpha=0.4)
+    fdm32 = fdm.astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal((fdm.Ltau, fdm.n_sites)))
+    x_ref, _ = cg_solve(fdm.mul_MtM, b, tol=1e-13, maxiter=4000)
+    x, stats = cg_solve_mixed(
+        fdm.mul_MtM, fdm32.mul_MtM, b, tol=1e-9, maxiter=4000, x0=x_ref
+    )
+    assert bool(stats.converged)
+    assert int(stats.iters) == 0
