@@ -367,10 +367,10 @@ def _sign_col(Ltau: int, first: bool) -> jnp.ndarray:
 
 
 def _pcg_kernel(
-    b_ref, x0_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
+    b_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
     Wre_ref, Wim_ref, Q_ref, filt_ref,
     x_ref, aux_ref,
-    *, shifts, tol, maxiter, warm,
+    *, shifts, tol, maxiter,
 ):
     Bc, Ltau, N = b_ref.shape
     n_colors = len(shifts)
@@ -452,19 +452,20 @@ def _pcg_kernel(
     def col(s):  # (Bc, 1) -> (Bc, 1, 1) for broadcasting against vectors
         return s[:, :, None]
 
+    # The rhs arrives pre-scaled to unit norm per system (FusedPCG.__call__
+    # divides by |b| outside and rescales the solution), so the convergence
+    # test is ABSOLUTE here — |r| < tol on the scaled system IS the b-relative
+    # criterion — and warm starts never enter the kernel: the caller solves
+    # for the correction e = x - x0 against the residual rhs instead. This
+    # keeps the kernel's resident set to ONE input block (the double-buffered
+    # b/x0 pair was what pushed chunk = 4 past VMEM at the headline config).
     b = b_ref[:]
-    normb2 = sdot(b, b)
-    safe_normb = jnp.sqrt(jnp.where(normb2 > zero_c, normb2, one_c))
-    if warm:
-        x = x0_ref[:]
-        r = b - mtm(x)
-    else:
-        x = jnp.zeros_like(b)
-        r = b
+    x = jnp.zeros_like(b)
+    r = b
     z = precond(r)
     p = z
     rdotz = sdot(r, z)
-    eps = jnp.sqrt(sdot(r, r)) / safe_normb
+    eps = jnp.sqrt(sdot(r, r))
     # active mask as f32 (0/1): Mosaic cannot reduce a bool array to the
     # while-loop's scalar condition
     active = jnp.where(eps >= tol_c, one_c, zero_c)
@@ -481,7 +482,7 @@ def _pcg_kernel(
         alpha = jnp.where(on, rdotz / jnp.where(pAp != zero_c, pAp, one_c), zero_c)
         x = x + col(alpha) * p
         r = r - col(alpha) * Ap
-        eps_new = jnp.sqrt(sdot(r, r)) / safe_normb
+        eps_new = jnp.sqrt(sdot(r, r))
         eps = jnp.where(on, eps_new, eps)
         on_new = jnp.logical_and(on, eps >= tol_c)
         z = precond(r)
@@ -507,13 +508,13 @@ def _pcg_kernel(
 
 
 def _pcg_call(
-    b, x0, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt,
-    shifts, tol: float, maxiter: int, chunk: int, warm: bool, interpret: bool,
+    b, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt,
+    shifts, tol: float, maxiter: int, chunk: int, interpret: bool,
 ):
     B, Ltau, N = b.shape
     Lh = Wre.shape[0]  # Ltau, or Ltau/2 under half-spectrum symmetry
     kernel = functools.partial(
-        _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter, warm=warm
+        _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter
     )
     n_chunks = B // chunk
     x, aux = pl.pallas_call(
@@ -524,7 +525,6 @@ def _pcg_call(
         ),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
             pl.BlockSpec((chunk, Ltau, N), lambda i: (i, _Z, _Z)),
             pl.BlockSpec(C.shape, lambda i: (_Z, _Z, _Z, _Z)),
             pl.BlockSpec(Sk.shape, lambda i: (_Z, _Z, _Z, _Z)),
@@ -541,7 +541,7 @@ def _pcg_call(
             pl.BlockSpec((1, 16, 128), lambda i: (i, _Z, _Z)),
         ),
         interpret=interpret,
-    )(b, x0, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt)
+    )(b, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt)
     eps = aux[:, :chunk, 0].reshape(B)
     iters = aux[:, 8, 0]  # per-chunk while-loop counts
     return x, eps, iters
@@ -555,11 +555,12 @@ class FusedPCG:
     semantics (per-system eps; converged = all finite + below tol; iters =
     max over batch chunks)."""
 
-    def __init__(self, arrays, shifts, interpret, max_chunk=4):
+    def __init__(self, arrays, shifts, interpret, max_chunk=4, mtm=None):
         self.arrays = arrays
         self.shifts = shifts
         self.interpret = interpret
         self.max_chunk = max_chunk
+        self.mtm = mtm  # XLA M^T M matvec for the out-of-kernel warm residual
 
     def __call__(self, b: jnp.ndarray, x0=None, tol: float = 1e-5, maxiter: int = 500):
         from .cg import CGStats
@@ -571,13 +572,28 @@ class FusedPCG:
         chunk = 1
         while chunk < self.max_chunk and B % (chunk * 2) == 0:
             chunk *= 2
-        warm = x0 is not None
-        xx = bb if x0 is None else x0.astype(jnp.float32).reshape((-1, Ltau, N))
+        # normalize per system so the kernel's ABSOLUTE stopping test |r| < tol
+        # is exactly the b-relative criterion; a warm start becomes a cold
+        # solve for the correction e = x - x0 against the residual rhs (one
+        # XLA matvec here buys the kernel a single-input resident set, which
+        # is what lets chunk = 4 fit VMEM at the headline config)
+        normb = jnp.sqrt(jnp.sum(bb * bb, axis=(1, 2), keepdims=True))
+        safe_normb = jnp.where(normb > 0, normb, 1.0)
+        if x0 is None:
+            rhs = bb / safe_normb
+        else:
+            xx0 = x0.astype(jnp.float32).reshape((-1, Ltau, N))
+            # mtm may come from an f64 fdm (the mixed-precision build path):
+            # the kernel's rhs must stay f32 regardless
+            rhs = (bb - self.mtm(xx0).astype(jnp.float32)) / safe_normb
         x, eps, iters = _pcg_call(
-            bb, xx, *self.arrays,
+            rhs, *self.arrays,
             shifts=self.shifts, tol=float(tol), maxiter=int(maxiter),
-            chunk=chunk, warm=warm, interpret=self.interpret,
+            chunk=chunk, interpret=self.interpret,
         )
+        x = x * safe_normb
+        if x0 is not None:
+            x = x + xx0
         x = x.reshape(shape)
         eps = eps.reshape(shape[:-2]) if len(shape) > 2 else eps.reshape(())
         iters = jnp.max(iters).astype(jnp.int32)
@@ -750,7 +766,7 @@ def fused_cg_mode() -> Optional[str]:
     return "compiled" if jax.default_backend() == "tpu" else None
 
 
-def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int = 2):
+def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int = 4):
     """FusedPCG when the configuration supports it (symmetric real-hopping fdm
     + spectral preconditioner with matching sizes); None otherwise.
 
@@ -759,8 +775,10 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     captured device arrays in a jit containing a pallas_call are re-shipped on
     every dispatch (~30 ms measured over the device tunnel, BENCH.md).
 
-    max_chunk = 2 keeps the whole Krylov state + tables within VMEM (chunk = 4
-    fails to compile at the headline Ltau = 240, N = 288)."""
+    max_chunk = 4 fits at the headline Ltau = 240, N = 288 since the kernel
+    went single-input (rhs only: warm starts and per-system normalization
+    moved outside — see FusedPCG.__call__); larger configs step the chunk
+    down via the VMEM estimate."""
     from .spectral_precond import SpectralPreconditioner
 
     if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
@@ -795,11 +813,15 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
         (2 * Lh * Ltau + N * N) // 2 + Lh * N
         + (len(shifts) + n_cls_total) * Lc * N
     )
+    # resident planes per chunk unit: rhs in + x out (double-buffered: 4) +
+    # while-carry x, r, p (3) + Ap, z (2) — the preconditioner's half-spectrum
+    # temps overlap with Ap/z liveness. Empirical anchors on v5e (16 MiB):
+    # chunk 4 at (Ltau 240, N 288) compiles, chunk 8 does not.
     while max_chunk > 1 and not _fits_vmem(
-        Ltau, N, 0, 0, 12, max_chunk, pcg_extra
+        Ltau, N, 0, 0, 9, max_chunk, pcg_extra
     ):
         max_chunk //= 2
-    if not _fits_vmem(Ltau, N, 0, 0, 12, 1, pcg_extra):
+    if not _fits_vmem(Ltau, N, 0, 0, 9, 1, pcg_extra):
         return None
     f32 = jnp.float32
     Sk = _fold_masks(S, masks, len(shifts))
@@ -816,4 +838,4 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
         _sign_col(Ltau, True), _sign_col(Ltau, False),
         Wre, Wim, pre.Q.astype(jnp.bfloat16), pair * pre.filt[:Lh].astype(f32),
     )
-    return FusedPCG(arrays, shifts, interpret, max_chunk)
+    return FusedPCG(arrays, shifts, interpret, max_chunk, mtm=fdm.mul_MtM)
