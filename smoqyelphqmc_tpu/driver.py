@@ -43,6 +43,9 @@ class SimulationConfig:
     Nt: int = 24
     hmc_dt: float = 0.0  # leapfrog timestep; 0 -> pi / (2 Nt)
     hmc_jitter: float = 0.05  # +-fractional timestep noise per trajectory
+    # 'leapfrog' (reference-matching) or 'omelyan' (2nd-order minimum-norm:
+    # 2 solves/step, ~3x the stable timestep -- run with ~Nt/3 steps)
+    hmc_integrator: str = "leapfrog"
     eta: float = 0.0  # EFA mass-regularization (ExactFourierAccelerator eta)
     Nrv: int = 10
     tol: float = 1e-10
@@ -130,7 +133,9 @@ def run_simulation(
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
     )
-    hmc_params = HMCParams(Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter)
+    hmc_params = HMCParams(
+        Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter, integrator=cfg.hmc_integrator
+    )
 
     tuner: Optional[MuTunerState] = None
     tuning_history = []
@@ -412,7 +417,9 @@ def _run_multiwalker(
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
     )
-    hmc_params = HMCParams(Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter)
+    hmc_params = HMCParams(
+        Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter, integrator=cfg.hmc_integrator
+    )
 
     # per-walker chemical potential: each chain tunes its own mu, exactly like the
     # reference's independent MPI ranks. mu always rides a per-walker context leaf

@@ -32,6 +32,15 @@ class HMCParams:
     Nt: int = static_field(default=24)
     dt: float = static_field(default=0.0)  # 0 -> pi / (2 Nt)
     jitter: float = static_field(default=0.05)  # +-5% timestep noise (:125)
+    # symplectic integrator for the non-harmonic force kicks. 'leapfrog' mirrors
+    # the reference (EFAPFFHMCUpdater.jl:189-221); 'omelyan' is the 2nd-order
+    # minimum-norm scheme (Omelyan/Mryglod/Folk 2003, lambda = 0.193...): two
+    # force solves per step but a ~10x smaller error coefficient, so the same
+    # acceptance holds at ~3x the timestep — net ~1.5x fewer solves per
+    # trajectory at fixed length Nt*dt. The harmonic part is integrated exactly
+    # in omega space either way (ops/efa.py), so the integrator error comes
+    # only from the fermionic + anharmonic + dispersive kicks.
+    integrator: str = static_field(default="leapfrog")
     # refresh the preconditioner at every leapfrog step (the reference refreshes
     # per solve) or only once per trajectory (cheaper when the refresh involves
     # an eigendecomposition; the tau-averaged propagator drifts slowly)
@@ -90,20 +99,13 @@ def hmc_update(
     pw, K0 = efa.sample_momentum_omega(k_mom)
     H0 = Sf0 + Sb0 + K0
 
-    # initial half drift
-    xw = efa.to_omega(x0)
-    xw, pw = efa.rotate_omega(xw, pw, dt / 2.0)
-    x = efa.to_tau(*xw)
-    if has_recenter:
-        x = recenter(x)
-        xw = efa.to_omega(x)
-
     # warm-start carry: consecutive trajectory solves share Phi and differ by
-    # one leapfrog drift of x, so each solve starts from an extrapolation of the
+    # one drift of x, so each solve starts from an extrapolation of the
     # previous solutions (iteration counts drop several-fold; CG still converges
-    # to tol, so the sampled distribution is untouched). Second-order
-    # chronological extrapolation 2 psi_{t-1} - psi_{t-2} cancels the O(dt)
-    # drift of the solution along the trajectory, leaving an O(dt^2) residual.
+    # to tol, so the sampled distribution is untouched). Chronological
+    # extrapolation psi + c (psi - psi2) with c = h_new / h_old cancels the
+    # O(dt) drift of the solution along the trajectory (c = 1 for leapfrog's
+    # uniform spacing; Omelyan alternates two spacings).
     warm_shape = (2, elph.Ltau, ctx.n_sites)
     psi_prev = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
     psi_prev2 = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
@@ -113,14 +115,13 @@ def hmc_update(
     # forces only shape the proposal (endpoint actions below keep f64 tables)
     force_tab_dt = None if jnp.dtype(ctx.force_dtype) == jnp.float64 else ctx.force_dtype
 
-    def step(carry, t):
-        x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
+    def force_kick(x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
+                   dt_kick, extrap_c, k_pre, refresh):
+        """Solve the fermionic force at x and kick p_omega by dt_kick."""
         fdm = make_fdm(ctx, x, dtype=force_tab_dt)
-        k_pre = jax.random.fold_in(k_pre0, t + 1)
-        if precond is not None and params.refresh_precond_every_step:
+        if precond is not None and refresh:
             precond = refresh_preconditioner(precond, fdm, k_pre)
-        # t = 0: zero guess; t = 1: previous solution; t >= 2: linear extrapolation
-        psi_warm = jnp.where(t >= 2, 2.0 * psi_prev - psi_prev2, psi_prev)
+        psi_warm = psi_prev + extrap_c * (psi_prev - psi_prev2)
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
@@ -133,21 +134,81 @@ def hmc_update(
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
         ok = ok & res.stats.converged & jnp.all(jnp.isfinite(force))
-        pw = efa.kick_omega(pw, force, dt)
-        dt_drift = jnp.where(t == Nt - 1, dt / 2.0, dt)
-        xw, pw = efa.rotate_omega(xw, pw, dt_drift)
+        pw2 = efa.kick_omega(pw, force, dt_kick)
+        return pw2, precond, psi_prev, psi_prev2, iters_sum + res.stats.iters, ok
+
+    def drift(xw, pw, t_drift):
+        xw, pw = efa.rotate_omega(xw, pw, t_drift)
         x = efa.to_tau(*xw)
         if has_recenter:
             x = recenter(x)
             xw = efa.to_omega(x)
-        iters_sum = iters_sum + res.stats.iters
-        return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
+        return x, xw, pw
 
-    (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
-        step,
-        (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
-        jnp.arange(Nt),
-    )
+    if params.integrator == "leapfrog":
+        # D(dt/2) [K(dt) D(dt)]^{Nt-1} K(dt) D(dt/2)
+        x, xw, pw = drift(efa.to_omega(x0), pw, dt / 2.0)
+
+        def step(carry, t):
+            x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
+            # t = 0: zero guess (psi_prev = 0); t = 1: previous solution;
+            # t >= 2: linear extrapolation with uniform spacing (c = 1)
+            c = jnp.where(t >= 2, 1.0, 0.0)
+            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
+                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
+                dt, c, jax.random.fold_in(k_pre0, t + 1),
+                params.refresh_precond_every_step,
+            )
+            dt_drift = jnp.where(t == Nt - 1, dt / 2.0, dt)
+            x, xw, pw = drift(xw, pw, dt_drift)
+            return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
+
+        (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
+            step,
+            (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+            jnp.arange(Nt),
+        )
+        n_solves = Nt + 1
+    elif params.integrator == "omelyan":
+        # 2nd-order minimum-norm: [D(l dt) K(dt/2) D((1-2l) dt) K(dt/2) D(l dt)]^Nt
+        # with consecutive D(l dt) D(l dt) merged into D(2 l dt)
+        lam = 0.1931833275037836
+        x, xw, pw = drift(efa.to_omega(x0), pw, lam * dt)
+        # warm-start spacings alternate: before kick A of step t > 0 the field
+        # drifted 2 l dt since kick B; before kick B it drifted (1 - 2 l) dt
+        c_a = 2.0 * lam / (1.0 - 2.0 * lam)
+        c_b = (1.0 - 2.0 * lam) / (2.0 * lam)
+
+        def step(carry, t):
+            x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
+            # kick A (the 2t-th solve): gate extrapolation on solve index >= 2
+            c = jnp.where(2 * t >= 2, c_a, 0.0)
+            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
+                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
+                dt / 2.0, c, jax.random.fold_in(k_pre0, t + 1),
+                params.refresh_precond_every_step,
+            )
+            x, xw, pw = drift(xw, pw, (1.0 - 2.0 * lam) * dt)
+            # kick B (the (2t+1)-th solve)
+            c = jnp.where(2 * t + 1 >= 2, c_b, 0.0)
+            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
+                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
+                dt / 2.0, c, jax.random.fold_in(k_pre0, -(t + 1)), False,
+            )
+            dt_drift = jnp.where(t == Nt - 1, lam * dt, 2.0 * lam * dt)
+            x, xw, pw = drift(xw, pw, dt_drift)
+            return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
+
+        (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
+            step,
+            (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+            jnp.arange(Nt),
+        )
+        n_solves = 2 * Nt + 1
+    else:
+        raise ValueError(
+            f"HMCParams.integrator must be 'leapfrog' or 'omelyan', got {params.integrator!r}"
+        )
 
     # final action (warm-started from the last force solve: same Phi, x one
     # half-drift away; the f64 endpoint solve still converges to ctx.tol)
@@ -172,7 +233,7 @@ def hmc_update(
     stats = HMCStats(
         accepted=accepted,
         delta_H=dH,
-        iters_avg=iters_sum / (Nt + 1),
+        iters_avg=iters_sum / n_solves,
         converged=ok,
     )
     return QMCState(x=x_new, key=key, precond=precond), stats

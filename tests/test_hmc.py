@@ -123,3 +123,40 @@ def test_radial_update_frozen_not_scaled():
     for _ in range(5):
         state, stats = step(state)
     assert np.all(np.isfinite(np.asarray(state.x)))
+
+
+def test_omelyan_smaller_energy_error():
+    """At the SAME timestep the Omelyan minimum-norm integrator must conserve
+    H much better than leapfrog (its 2nd-order error coefficient is ~10x
+    smaller), and both remain exact MC (converged flags set)."""
+    geo, tbm, tbp, _, elph = chain_model(L=4, beta=2.0, dtau=0.1, alpha=0.6)
+    ctx, state0 = initialize_qmc(tbp, elph, seed=11, tol=1e-10)
+
+    def mean_abs_dH(integrator, n=6):
+        params = HMCParams(Nt=6, jitter=0.0, integrator=integrator)
+        step = jax.jit(lambda s: hmc_update(ctx, s, params))
+        state, tot = state0, 0.0
+        for _ in range(n):
+            state, stats = step(state)
+            assert bool(stats.converged)
+            tot += abs(float(stats.delta_H))
+        return tot / n
+
+    lf = mean_abs_dH("leapfrog")
+    om = mean_abs_dH("omelyan")
+    assert om < 0.5 * lf, (om, lf)
+
+
+def test_omelyan_accepts_with_third_the_steps():
+    """Omelyan at Nt/3 (3x the timestep, ~2/3 the solves) should still accept
+    at high rate where leapfrog needs the full Nt."""
+    geo, tbm, tbp, _, elph = chain_model(L=4, beta=2.0, dtau=0.1, alpha=0.6)
+    ctx, state = initialize_qmc(tbp, elph, seed=12, tol=1e-10)
+    params = HMCParams(Nt=4, dt=np.pi / (2 * 12), jitter=0.0, integrator="omelyan")
+    step = jax.jit(lambda s: hmc_update(ctx, s, params))
+    acc = 0
+    for _ in range(8):
+        state, stats = step(state)
+        assert bool(stats.converged)
+        acc += int(stats.accepted)
+    assert acc >= 6
