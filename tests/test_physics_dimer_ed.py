@@ -81,13 +81,16 @@ def _ed_observables(t_eff, Omega, alpha, beta, n_boson=10):
     d_avg = avg(np.kron((docc0 + docc1) / 2, np.eye(dim_b)))
     X_avg = avg((kron3(np.eye(16), X1, Ib) + kron3(np.eye(16), Ib, X1)) / 2)
     X2_avg = avg((kron3(np.eye(16), X1 @ X1, Ib) + kron3(np.eye(16), Ib, X1 @ X1)) / 2)
-    return n_avg, d_avg, X_avg, X2_avg
+    # equal-time density-density correlation C(r) = (1/N) sum_i <n_{i+r} n_i>
+    nn0 = avg(np.kron((n0 @ n0 + n1 @ n1) / 2, np.eye(dim_b)))
+    nn1 = avg(np.kron((n0 @ n1 + n1 @ n0) / 2, np.eye(dim_b)))
+    return n_avg, d_avg, X_avg, X2_avg, (nn0, nn1)
 
 
 @pytest.mark.slow
 def test_holstein_dimer_vs_ed():
     t, Omega, alpha, beta, dtau = 0.5, 1.0, 0.8, 2.0, 0.05
-    n_ed, d_ed, X_ed, X2_ed = _ed_observables(2 * t, Omega, alpha, beta, n_boson=12)
+    n_ed, d_ed, X_ed, X2_ed, _ = _ed_observables(2 * t, Omega, alpha, beta, n_boson=12)
 
     geo, tbm, tbp, elph_model, elph = chain_model(
         L=2, t=t, mu=0.0, Omega=Omega, alpha=alpha, beta=beta, dtau=dtau
@@ -138,3 +141,54 @@ def test_holstein_dimer_vs_ed():
     np.testing.assert_allclose(d_avg, d_ed, rtol=0.15)
     np.testing.assert_allclose(x2_avg, X2_ed, rtol=0.15)
     assert abs(x_avg - X_ed) < 0.25 * np.sqrt(X2_ed)
+
+
+@pytest.mark.slow
+def test_holstein_dimer_density_correlation_vs_ed():
+    """Equal-time density-density correlation C(r) = (1/N) sum_i <n_{i+r} n_i>
+    of the interacting dimer against ED — exercises the full stochastic
+    contraction machinery (GDD_G00 + exchange topology + tau = 0/beta
+    delta-corrections) on an exactly solvable interacting model, not just the
+    per-realization oracles of test_contraction_bruteforce.py."""
+    from smoqyelphqmc_tpu.measure.container import MeasurementSpec, make_measurements
+
+    t, Omega, alpha, beta, dtau = 0.5, 1.0, 0.8, 2.0, 0.05
+    *_, (nn0_ed, nn1_ed) = _ed_observables(2 * t, Omega, alpha, beta, n_boson=12)
+
+    geo, tbm, tbp, elph_model, elph = chain_model(
+        L=2, t=t, mu=0.0, Omega=Omega, alpha=alpha, beta=beta, dtau=dtau
+    )
+    ctx, state = initialize_qmc(tbp, elph, seed=7, tol=1e-9)
+    params = HMCParams(Nt=10)
+    step = jax.jit(lambda s: hmc_update(ctx, s, params))
+    refl = jax.jit(lambda s: reflection_update(ctx, s))
+
+    spec = MeasurementSpec(geometry=geo)
+    spec.add_correlation("density", [(0, 0)])
+    est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=8)
+
+    @jax.jit
+    def measure(s, key):
+        fdm = make_fdm(ctx, s.x)
+        upd = update_greens_estimator(est, fdm, key, precond=s.precond, tol=1e-9, maxiter=2000)
+        out = make_measurements(ctx, spec, upd.estimator, s.x)
+        # (n_pairs=1, Ltau+1, L=2) real part; equal-time row tau = 0
+        return out["correlations"]["density"][0][0, 0, :]
+
+    for _ in range(80):
+        state, _ = refl(state)
+        state, _ = step(state)
+
+    key = jax.random.PRNGKey(321)
+    acc = np.zeros(2)
+    cnt = 0
+    for i in range(400):
+        state, _ = refl(state)
+        state, _ = step(state)
+        if i % 2 == 0:
+            key, sub = jax.random.split(key)
+            acc += np.asarray(measure(state, sub))
+            cnt += 1
+    C = acc / cnt
+    np.testing.assert_allclose(C[0], nn0_ed, atol=0.1)
+    np.testing.assert_allclose(C[1], nn1_ed, atol=0.1)
