@@ -144,17 +144,82 @@ def test_holstein_dimer_vs_ed():
 
 
 @pytest.mark.slow
-def test_holstein_dimer_density_correlation_vs_ed():
-    """Equal-time density-density correlation C(r) = (1/N) sum_i <n_{i+r} n_i>
-    of the interacting dimer against ED — exercises the full stochastic
-    contraction machinery (GDD_G00 + exchange topology + tau = 0/beta
-    delta-corrections) on an exactly solvable interacting model, not just the
-    per-realization oracles of test_contraction_bruteforce.py."""
+def test_holstein_dimer_correlations_vs_ed():
+    """Greens / density / spin_z / pair correlations — equal-time AND
+    time-displaced (tau = beta/2) — of the interacting dimer against ED.
+
+    Exercises the full stochastic contraction machinery (all three pair
+    topologies, tau = 0/beta delta-corrections, reference coefficient
+    conventions: spin.jl:9 S^z = (n_up - n_dn)/2, pair.jl:9
+    PP = G(a,i+r+r'|c,i+r'') G(b,i+r|d,i)) on an exactly solvable interacting
+    model — beyond the per-realization oracles of
+    test_contraction_bruteforce.py."""
     from smoqyelphqmc_tpu.measure.container import MeasurementSpec, make_measurements
 
-    t, Omega, alpha, beta, dtau = 0.5, 1.0, 0.8, 2.0, 0.05
-    *_, (nn0_ed, nn1_ed) = _ed_observables(2 * t, Omega, alpha, beta, n_boson=12)
+    t, Omega, alpha, beta, dtau = 0.5, 1.0, 0.8, 1.0, 0.1
 
+    # ---- ED: generic <A(tau) B(0)> in the eigenbasis ----
+    I2 = np.eye(2)
+    c = np.array([[0.0, 1.0], [0.0, 0.0]])
+    z = np.diag([1.0, -1.0])
+
+    def mode_op(k, n=4):
+        ops = [z] * k + [c] + [I2] * (n - k - 1)
+        out = ops[0]
+        for o in ops[1:]:
+            out = np.kron(out, o)
+        return out
+
+    c_ops = [mode_op(k) for k in range(4)]  # (0up, 1up, 0dn, 1dn)
+    n_ops = [op.T @ op for op in c_ops]
+    nb = 10
+    ab = np.diag(np.sqrt(np.arange(1, nb)), 1)
+    Ib = np.eye(nb)
+    X1 = (ab + ab.T) / np.sqrt(2 * Omega)
+    Hb1 = Omega * (ab.T @ ab + 0.5 * Ib)
+
+    def kron3(A, B, C):
+        return np.kron(A, np.kron(B, C))
+
+    n0 = n_ops[0] + n_ops[2]
+    n1 = n_ops[1] + n_ops[3]
+    hop = sum(c_ops[i].T @ c_ops[j] + c_ops[j].T @ c_ops[i] for (i, j) in [(0, 1), (2, 3)])
+    H = (
+        np.kron(-2 * t * hop, np.eye(nb * nb))
+        + kron3(np.eye(16), Hb1, Ib) + kron3(np.eye(16), Ib, Hb1)
+        + alpha * kron3(n0 - np.eye(16), X1, Ib)
+        + alpha * kron3(n1 - np.eye(16), Ib, X1)
+    )
+    w, V = np.linalg.eigh(H)
+    w -= w.min()
+    boltz = np.exp(-beta * w)
+    Z = boltz.sum()
+
+    def corr_tau(A, B, tau):
+        Am = V.T @ np.kron(A, np.eye(nb * nb)) @ V
+        Bm = V.T @ np.kron(B, np.eye(nb * nb)) @ V
+        return float(
+            np.einsum("i,ij,j,ji->", np.exp(-(beta - tau) * w), Am, np.exp(-tau * w), Bm) / Z
+        )
+
+    Sz0 = (n_ops[0] - n_ops[2]) / 2.0
+    Sz1 = (n_ops[1] - n_ops[3]) / 2.0
+    D0 = c_ops[2] @ c_ops[0]  # onsite pair c_dn c_up
+    D1 = c_ops[3] @ c_ops[1]
+    taus = [0.0, beta / 2]
+    ed = {
+        "density": [[(corr_tau(n0, n0, tt) + corr_tau(n1, n1, tt)) / 2,
+                     (corr_tau(n1, n0, tt) + corr_tau(n0, n1, tt)) / 2] for tt in taus],
+        "spin_z": [[(corr_tau(Sz0, Sz0, tt) + corr_tau(Sz1, Sz1, tt)) / 2,
+                    (corr_tau(Sz1, Sz0, tt) + corr_tau(Sz0, Sz1, tt)) / 2] for tt in taus],
+        "pair": [[(corr_tau(D0, D0.T, tt) + corr_tau(D1, D1.T, tt)) / 2,
+                  (corr_tau(D1, D0.T, tt) + corr_tau(D0, D1.T, tt)) / 2] for tt in taus],
+        "greens": [[(corr_tau(c_ops[0], c_ops[0].T, tt) + corr_tau(c_ops[1], c_ops[1].T, tt)) / 2,
+                    (corr_tau(c_ops[1], c_ops[0].T, tt) + corr_tau(c_ops[0], c_ops[1].T, tt)) / 2]
+                   for tt in taus],
+    }
+
+    # ---- QMC ----
     geo, tbm, tbp, elph_model, elph = chain_model(
         L=2, t=t, mu=0.0, Omega=Omega, alpha=alpha, beta=beta, dtau=dtau
     )
@@ -162,9 +227,9 @@ def test_holstein_dimer_density_correlation_vs_ed():
     params = HMCParams(Nt=10)
     step = jax.jit(lambda s: hmc_update(ctx, s, params))
     refl = jax.jit(lambda s: reflection_update(ctx, s))
-
     spec = MeasurementSpec(geometry=geo)
-    spec.add_correlation("density", [(0, 0)])
+    for kind in ("greens", "density", "spin_z", "pair"):
+        spec.add_correlation(kind, [(0, 0)], time_displaced=True)
     est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=8)
 
     @jax.jit
@@ -172,23 +237,32 @@ def test_holstein_dimer_density_correlation_vs_ed():
         fdm = make_fdm(ctx, s.x)
         upd = update_greens_estimator(est, fdm, key, precond=s.precond, tol=1e-9, maxiter=2000)
         out = make_measurements(ctx, spec, upd.estimator, s.x)
-        # (n_pairs=1, Ltau+1, L=2) real part; equal-time row tau = 0
-        return out["correlations"]["density"][0][0, 0, :]
+        return {k: out["correlations"][k][0][0] for k in ("greens", "density", "spin_z", "pair")}
 
-    for _ in range(80):
+    for _ in range(50):
         state, _ = refl(state)
         state, _ = step(state)
-
-    key = jax.random.PRNGKey(321)
-    acc = np.zeros(2)
-    cnt = 0
-    for i in range(400):
+    key = jax.random.PRNGKey(11)
+    accs, cnt = None, 0
+    for i in range(240):
         state, _ = refl(state)
         state, _ = step(state)
         if i % 2 == 0:
             key, sub = jax.random.split(key)
-            acc += np.asarray(measure(state, sub))
+            m = {k: np.asarray(v) for k, v in measure(state, sub).items()}
+            accs = m if accs is None else {k: accs[k] + m[k] for k in m}
             cnt += 1
-    C = acc / cnt
-    np.testing.assert_allclose(C[0], nn0_ed, atol=0.1)
-    np.testing.assert_allclose(C[1], nn1_ed, atol=0.1)
+
+    Lt = elph.Ltau
+    tidx = [0, Lt // 2]
+    # tolerances: Trotter at dtau = 0.1 contributes up to ~0.1 on density;
+    # stochastic error ~0.02-0.05 at Nrv = 8 x 120 samples
+    atol = {"density": 0.2, "spin_z": 0.06, "pair": 0.12, "greens": 0.1}
+    for k in ("greens", "density", "spin_z", "pair"):
+        C = accs[k] / cnt  # (Ltau+1, 2)
+        for j, ti in enumerate(tidx):
+            for r in (0, 1):
+                np.testing.assert_allclose(
+                    C[ti, r], ed[k][j][r], atol=atol[k],
+                    err_msg=f"{k} tau_idx={ti} r={r}",
+                )
