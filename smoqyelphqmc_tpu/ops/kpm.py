@@ -130,23 +130,31 @@ def lanczos_bounds(apply_A, n_sites: int, key, n_steps: int = 20) -> Tuple[jnp.n
 # ----------------------------------------------------------------------
 
 
-def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_max: int = 64):
+def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_max=None):
     """Static per-frequency order caps + ONE flat recurrence segment.
 
     An earlier design grouped frequencies into power-of-two tiers with one
     recurrence per tier; TPU profiling showed the many small sequential steps are
     latency-bound (BENCH.md), so the plan runs a single blocked Chebyshev
-    recurrence over the whole (Ltau, N) frequency block, truncated at cap_max
-    terms padded up to a (block_size x n_blocks) grid (coefficients are zero
-    beyond each frequency's own order, so higher frequencies simply stop
-    contributing). cap_max trades preconditioner quality at the few lowest
-    Matsubara frequencies for a hard bound on sequential work; raise it for
-    large beta (each extra block_size orders cost ONE more dense matmul)."""
+    recurrence over the whole (Ltau, N) frequency block padded up to a
+    (block_size x n_blocks) grid (coefficients are zero beyond each frequency's
+    own order, so higher frequencies simply stop contributing).
+
+    cap_max=None (default) keeps the natural per-frequency orders — the
+    reference's unbounded growth at the lowest Matsubara frequencies
+    (KPMPreconditioner.jl:711). An explicit cap bounds sequential work but is
+    a correctness risk, not just a quality knob: truncating the Chebyshev fit
+    of 1/q too early makes the polynomial non-positive on the spectrum and the
+    preconditioner indefinite — measured at the headline config (Ltau = 240),
+    cap 64 converges in 46 iterations while cap 32 DIVERGES outright. The
+    sufficient order scales ~ a1_eff * Ltau / (2 pi), so a static cap that
+    works at one beta silently breaks at a larger one."""
     w = np.arange(Ltau)
     phi = 2.0 * np.pi * (w + 0.5) / Ltau
     phi_eff = np.minimum(phi, 2.0 * np.pi - phi)
     caps = np.maximum(1, np.floor(cap_delta_eps * (a1_eff / phi_eff + a2)).astype(np.int64))
-    caps = np.minimum(caps, cap_max)
+    if cap_max is not None:
+        caps = np.minimum(caps, cap_max)
     perm = np.arange(Ltau, dtype=np.int32)
     C = int(max(caps.max(), 1))
     block_size = max(1, int(np.ceil(np.sqrt(C))))
@@ -217,7 +225,7 @@ class KPMPreconditioner:
         a1: float = 1.0,
         a2: float = 1.0,
         cap_delta_eps: float = 1.0,
-        cap_max: int = 64,
+        cap_max=None,
         dtype: str = "float32",
     ) -> "KPMPreconditioner":
         """Construct and immediately update (mirrors KPMPreconditioner ctor,

@@ -154,3 +154,18 @@ def test_solve_mtm_f32_rhs_f64_matrix():
     assert bool(st.converged)
     r = fdm.mul_MtM(x.astype(jnp.float64)) - b.astype(jnp.float64)
     assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 5e-5
+
+
+def test_kpm_natural_caps_grow_with_ltau():
+    """cap_max=None (default) must keep the reference's unbounded low-frequency
+    order growth (KPMPreconditioner.jl:711): the max order scales ~ Ltau and is
+    NOT silently truncated (a too-small cap makes the Chebyshev fit of 1/q
+    non-positive and the preconditioner indefinite — observed divergence at
+    cap 32, Ltau = 240)."""
+    from smoqyelphqmc_tpu.ops.kpm import _static_plan
+
+    caps_small = _static_plan(40, 2.0, 1.0, 1.0)[3]
+    caps_large = _static_plan(240, 2.0, 1.0, 1.0)[3]
+    assert caps_large.max() > 2 * caps_small.max()
+    capped = _static_plan(240, 2.0, 1.0, 1.0, cap_max=16)[3]
+    assert capped.max() == 16
