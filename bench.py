@@ -147,6 +147,58 @@ def bench_walker_sweeps(W=8, n_sweeps=2, Nt=24):
     return n_sweeps * W / (time.perf_counter() - t0)
 
 
+def bench_walker_measured(W=8, n_sweeps=2, Nt=24, Nrv=10):
+    """Aggregate MEASURED walker-sweeps/sec: one full update sweep plus one
+    estimator refresh + full tutorial measurement pass per walker per sweep —
+    the end-to-end production rate of the flagship config."""
+    import jax
+
+    from smoqyelphqmc_tpu.measure.container import MeasurementSpec, make_measurements
+    from smoqyelphqmc_tpu.measure.greens_estimator import (
+        build_greens_estimator,
+        update_greens_estimator,
+    )
+    from smoqyelphqmc_tpu.parallel.walkers import init_walker_states, walker_sweep
+    from smoqyelphqmc_tpu.updates.context import make_fdm
+    from smoqyelphqmc_tpu.updates.hmc import HMCParams
+
+    ctx, state0 = build_sim(Nt=Nt)
+    import _common  # examples path inserted by build_sim
+
+    geo = _common.holstein_honeycomb_model(12, 1.0, 0.6, 0.0)[0]
+    spec = _common.holstein_honeycomb_spec(geo)
+    states = init_walker_states(ctx, state0, W, seed=1)
+    params = HMCParams(Nt=Nt)
+    est0 = build_greens_estimator(ctx.elph.Ltau, geo.n_orbitals, geo.L, Nrv=Nrv, dtype="float32")
+
+    @jax.jit
+    def sweep_and_measure(states, key):
+        states, _ = walker_sweep(ctx, states, params)
+        keys = jax.random.split(key, W + 1)
+
+        def one(state, k):
+            fdm = make_fdm(ctx, state.x)
+            upd = update_greens_estimator(
+                est0, fdm, k, precond=state.precond, tol=ctx.tol, maxiter=ctx.maxiter,
+                mixed=ctx.mixed_precision, solve_dtype="float32",
+            )
+            return make_measurements(ctx, spec, upd.estimator, state.x)
+
+        out = jax.vmap(one)(states, keys[1:])
+        return states, out, keys[0]
+
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(7)
+    states, out, key = sweep_and_measure(states, key)
+    jax.block_until_ready(states.x)
+    t0 = time.perf_counter()
+    for _ in range(n_sweeps):
+        states, out, key = sweep_and_measure(states, key)
+    jax.block_until_ready(states.x)
+    return n_sweeps * W / (time.perf_counter() - t0)
+
+
 def bench_matvecs(n_iters=200, batch=2) -> float:
     """Return M^T M applications per second (one application = one batched field)."""
     import jax
@@ -261,6 +313,7 @@ def main():
     sweeps = _retry(lambda: bench_sweeps())
     sweeps_rate, cg_iters = sweeps if sweeps is not None else (None, None)
     walker_rate = _retry(lambda: bench_walker_sweeps(W=8))
+    measured_rate = _retry(lambda: bench_walker_measured(W=8))
 
     result = {
         "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
@@ -270,6 +323,7 @@ def main():
         "extras": {
             "hmc_sweeps_per_sec": round(sweeps_rate, 4) if sweeps_rate else None,
             "walker8_sweeps_per_sec": round(walker_rate, 4) if walker_rate else None,
+            "walker8_measured_sweeps_per_sec": round(measured_rate, 4) if measured_rate else None,
             "cg_iters_per_solve": round(cg_iters, 1) if cg_iters else None,
         },
     }

@@ -766,7 +766,7 @@ def fused_cg_mode() -> Optional[str]:
     return "compiled" if jax.default_backend() == "tpu" else None
 
 
-def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int = 4):
+def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int = 2):
     """FusedPCG when the configuration supports it (symmetric real-hopping fdm
     + spectral preconditioner with matching sizes); None otherwise.
 
@@ -775,10 +775,13 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     captured device arrays in a jit containing a pallas_call are re-shipped on
     every dispatch (~30 ms measured over the device tunnel, BENCH.md).
 
-    max_chunk = 4 fits at the headline Ltau = 240, N = 288 since the kernel
-    went single-input (rhs only: warm starts and per-system normalization
-    moved outside — see FusedPCG.__call__); larger configs step the chunk
-    down via the VMEM estimate."""
+    max_chunk = 2: since the kernel went single-input (rhs only — warm starts
+    and per-system normalization moved outside, see FusedPCG.__call__) chunk 4
+    compiles at the headline Ltau = 240, N = 288 on a PLAIN grid, but the same
+    kernel VMAPPED over walkers hits Mosaic's scoped-vmem stack limit (18.7M
+    vs 16M for the W = 8, Nrv = 10 estimator refresh) — and chunk 4 measured
+    throughput-neutral anyway (the solve is not latency-bound), so 2 is both
+    the safe and the fast choice."""
     from .spectral_precond import SpectralPreconditioner
 
     if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
