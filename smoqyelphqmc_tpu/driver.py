@@ -46,6 +46,13 @@ class SimulationConfig:
     # 'leapfrog' (reference-matching) or 'omelyan' (2nd-order minimum-norm:
     # 2 solves/step, ~3x the stable timestep -- run with ~Nt/3 steps)
     hmc_integrator: str = "leapfrog"
+    # None = fixed timestep. A value in (0, 1) targets that HMC acceptance
+    # rate: during thermalization dt follows the stochastic approximation
+    # dt <- dt * exp(0.08 (accepted - target)), clamped to [dt0/8, 8 dt0],
+    # then freezes for the measurement phase. Exactness is unaffected
+    # (Metropolis corrects any integrator error at every dt); this only
+    # trades acceptance against trajectory length.
+    target_acceptance: Optional[float] = None
     eta: float = 0.0  # EFA mass-regularization (ExactFourierAccelerator eta)
     Nrv: int = 10
     tol: float = 1e-10
@@ -177,15 +184,21 @@ def run_simulation(
         "reflection_iters", "swap_iters", "hmc_iters",
     )
 
+    # dt rides the jit as a traced argument (HMCParams.dt is a pytree leaf), so
+    # acceptance-targeted tuning never recompiles the sweep program
+    dt0 = float(hmc_params.timestep())
+
     @jax.jit
-    def sweep(ctx_, state_: QMCState, acc_vec):
+    def sweep(ctx_, state_: QMCState, acc_vec, dt_):
         state_, r_stats = reflection_update(ctx_, state_)
         state_, s_stats = swap_update(ctx_, state_)
         if cfg.use_radial_updates:
             state_, rad_stats = radial_update(ctx_, state_)
         else:
             rad_stats = r_stats
-        state_, h_stats = hmc_update(ctx_, state_, hmc_params, recenter=recenter)
+        state_, h_stats = hmc_update(
+            ctx_, state_, hmc_params.replace(dt=dt_), recenter=recenter
+        )
         vec = jnp.stack([
             r_stats.accepted.astype(jnp.float64),
             s_stats.accepted.astype(jnp.float64),
@@ -195,9 +208,12 @@ def run_simulation(
             s_stats.iters.astype(jnp.float64),
             h_stats.iters_avg,
         ])
+        if cfg.target_acceptance is not None:
+            step = 0.08 * (h_stats.accepted.astype(jnp.float64) - cfg.target_acceptance)
+            dt_ = jnp.clip(dt_ * jnp.exp(step), dt0 / 8.0, 8.0 * dt0)
         # accumulate inside the jit — an eager per-sweep add costs a dispatch
         # roundtrip over a tunneled device
-        return state_, acc_vec + vec
+        return state_, acc_vec + vec, dt_
 
     @jax.jit
     def measure_pass(ctx_, state_: QMCState, est_, key, iters_acc):
@@ -240,6 +256,7 @@ def run_simulation(
     key_host = jax.random.PRNGKey(cfg.seed + 7919)
     sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
     meas_iters_acc = jnp.zeros((), jnp.float64)
+    dt_cur = jnp.asarray(dt0, jnp.float64)
 
     def sync_metadata():
         """Fold the device accumulators into metadata (host sync point)."""
@@ -269,6 +286,8 @@ def run_simulation(
             # checkpoints the full measurement container, _checkpoint.jl:516-531)
             if s.get("key_host") is not None:
                 key_host = jnp.asarray(s["key_host"])
+            if s.get("hmc_dt") is not None:
+                dt_cur = jnp.asarray(s["hmc_dt"])
             if s.get("acc_sums") is not None:
                 acc.sums = s["acc_sums"]
                 acc.count = int(s["acc_count"])
@@ -282,6 +301,7 @@ def run_simulation(
             "x": state.x,
             "key": state.key,
             "key_host": key_host,
+            "hmc_dt": dt_cur,
             "therm_done": therm_done,
             "meas_done": meas_done,
             "metadata": dict(metadata),
@@ -315,7 +335,7 @@ def run_simulation(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        state, sweep_acc = sweep(ctx, state, sweep_acc)
+        state, sweep_acc, dt_cur = sweep(ctx, state, sweep_acc, dt_cur)
         if tuner is not None:
             est, iters, n, Nsq, key_host = tune_pass(ctx, state, est, key_host)
             tuner = tune_step(tuner, n, Nsq)
@@ -332,7 +352,8 @@ def run_simulation(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        state, sweep_acc = sweep(ctx, state, sweep_acc)
+        # dt frozen after thermalization (the tuned value is NOT fed back)
+        state, sweep_acc, _ = sweep(ctx, state, sweep_acc, dt_cur)
 
         est, out, meas_iters_acc, n, Nsq, key_host = measure_pass(
             ctx, state, est, key_host, meas_iters_acc
@@ -363,6 +384,8 @@ def run_simulation(
     metadata["reflection_iters"] /= max(n_updates, 1)
     metadata["swap_iters"] /= max(n_updates, 1)
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
+    if cfg.target_acceptance is not None:
+        metadata["hmc_dt_final"] = float(np.asarray(dt_cur))
     if tuner is not None:
         metadata["final_mu"] = float(np.asarray(tuner.mu))
         from .io.simulation_info import save_density_tuning_profile
@@ -447,13 +470,15 @@ def _run_multiwalker(
 
     from .parallel.walkers import shared_precond_refresh
 
+    dt0 = float(hmc_params.timestep())
+
     @jax.jit
-    def sweep(s, mus, acc_vec):
+    def sweep(s, mus, acc_vec, dt_):
         # ONE preconditioner refresh per sweep from the walker-mean propagator
         # (vmapped eigh batches poorly; iteration counts are unchanged — see
         # parallel/walkers.py:shared_precond_refresh)
         s = shared_precond_refresh(with_mu(ctx, jnp.mean(mus)), s)
-        hmc_p = hmc_params.replace(refresh_precond_at_start=s.precond is None)
+        hmc_p = hmc_params.replace(refresh_precond_at_start=s.precond is None, dt=dt_)
 
         def one(s1, mu):
             c = with_mu(ctx, mu)
@@ -476,8 +501,12 @@ def _run_multiwalker(
             return s1, vec
 
         s, vecs = jax.vmap(one)(s, mus)
+        if cfg.target_acceptance is not None:
+            # ONE shared dt, driven by the walker-mean acceptance
+            step = 0.08 * (jnp.mean(vecs[:, 3]) - cfg.target_acceptance)
+            dt_ = jnp.clip(dt_ * jnp.exp(step), dt0 / 8.0, 8.0 * dt0)
         # walker-averaged per-sweep stats, accumulated inside the jit
-        return s, acc_vec + jnp.mean(vecs, axis=0)
+        return s, acc_vec + jnp.mean(vecs, axis=0), dt_
 
     def _refresh_est(s1, key, mu):
         c = with_mu(ctx, mu)
@@ -541,6 +570,7 @@ def _run_multiwalker(
     key = jax.random.PRNGKey(cfg.seed + 17)
     sweep_acc = jnp.zeros(len(_STAT_KEYS))  # device-side running sums
     meas_iters_acc = jnp.zeros((), jnp.float64)
+    dt_cur = jnp.asarray(dt0, jnp.float64)
 
     def sync_metadata():
         nonlocal sweep_acc, meas_iters_acc
@@ -567,6 +597,8 @@ def _run_multiwalker(
             metadata.update(s["metadata"])
             key = jnp.asarray(s["key_host"])
             mu_walkers = jnp.asarray(s["mu_walkers"])
+            if s.get("hmc_dt") is not None:
+                dt_cur = jnp.asarray(s["hmc_dt"])
             if tuners is not None and s.get("tuners") is not None:
                 tuners = tuners.replace(**{k: jnp.asarray(v) for k, v in s["tuners"].items()})
             if s.get("tuning_history_vecs") is not None:
@@ -583,6 +615,7 @@ def _run_multiwalker(
             "x": states.x,
             "key": states.key,
             "key_host": key,
+            "hmc_dt": dt_cur,
             "therm_done": therm_done,
             "meas_done": meas_done,
             "metadata": dict(metadata),
@@ -616,7 +649,7 @@ def _run_multiwalker(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        states, sweep_acc = sweep(states, mu_walkers, sweep_acc)
+        states, sweep_acc, dt_cur = sweep(states, mu_walkers, sweep_acc, dt_cur)
         if tuners is not None:
             n_w, N2_w, key = tune(states, key, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
@@ -634,7 +667,8 @@ def _run_multiwalker(
     # measure
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
-        states, sweep_acc = sweep(states, mu_walkers, sweep_acc)
+        # dt frozen after thermalization (the tuned value is NOT fed back)
+        states, sweep_acc, _ = sweep(states, mu_walkers, sweep_acc, dt_cur)
         out, meas_iters_acc, n_w, N2_w, key = measure(states, key, mu_walkers, meas_iters_acc)
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
@@ -667,6 +701,8 @@ def _run_multiwalker(
     metadata["reflection_iters"] /= max(n_updates, 1)
     metadata["swap_iters"] /= max(n_updates, 1)
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
+    if cfg.target_acceptance is not None:
+        metadata["hmc_dt_final"] = float(np.asarray(dt_cur))
     if tuners is not None:
         metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
         from .io.simulation_info import save_density_tuning_profile

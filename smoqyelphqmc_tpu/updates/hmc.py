@@ -30,7 +30,9 @@ class HMCParams:
     """Trajectory hyperparameters (EFAPFFHMCUpdater ctor, EFAPFFHMCUpdater.jl:40-64)."""
 
     Nt: int = static_field(default=24)
-    dt: float = static_field(default=0.0)  # 0 -> pi / (2 Nt)
+    # dt is a pytree LEAF (not static) so the driver can feed a traced,
+    # acceptance-tuned timestep through one compiled sweep program
+    dt: float = 0.0  # 0 -> pi / (2 Nt)
     jitter: float = static_field(default=0.05)  # +-5% timestep noise (:125)
     # symplectic integrator for the non-harmonic force kicks. 'leapfrog' mirrors
     # the reference (EFAPFFHMCUpdater.jl:189-221); 'omelyan' is the 2nd-order
@@ -50,10 +52,12 @@ class HMCParams:
     # never the sampled distribution)
     refresh_precond_at_start: bool = static_field(default=True)
 
-    def timestep(self) -> float:
+    def timestep(self):
         import math
 
-        return self.dt if self.dt > 0 else math.pi / (2 * self.Nt)
+        if isinstance(self.dt, (int, float)):
+            return self.dt if self.dt > 0 else math.pi / (2 * self.Nt)
+        return self.dt  # traced scalar (driver dt tuning); caller ensures > 0
 
 
 class HMCStats(NamedTuple):

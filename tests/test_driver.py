@@ -24,7 +24,7 @@ def _run(tmp_path, model_fn, cfg_kw=None, spec_fn=None, **model_kw):
     spec.add_correlation("phonon_greens", [(0, 0)], time_displaced=True)
     if spec_fn:
         spec_fn(spec)
-    cfg = SimulationConfig(
+    defaults = dict(
         beta=model_kw.get("beta", 0.5),
         dtau=model_kw.get("dtau", 0.1),
         N_therm=2,
@@ -34,8 +34,9 @@ def _run(tmp_path, model_fn, cfg_kw=None, spec_fn=None, **model_kw):
         Nrv=4,
         tol=1e-8,
         seed=11,
-        **(cfg_kw or {}),
     )
+    defaults.update(cfg_kw or {})
+    cfg = SimulationConfig(**defaults)
     sim_info = SimulationInfo(filepath=str(tmp_path), datafolder_prefix="test_sim")
     meta = run_simulation(sim_info, tbm, elph_model, spec, cfg)
     return sim_info, meta
@@ -82,3 +83,29 @@ def test_driver_density_tuning(tmp_path):
     )
     assert "final_mu" in meta
     assert np.isfinite(meta["final_mu"])
+
+
+def test_driver_acceptance_targeted_dt(tmp_path):
+    """target_acceptance tunes the HMC timestep during thermalization without
+    recompiling the sweep (dt is a traced HMCParams leaf): with acceptance at
+    ~100% and target 0.5, dt must GROW from its pi/(2 Nt) start, and the tuned
+    value is recorded in the metadata."""
+    sim_info, meta = _run(
+        tmp_path, chain_model,
+        cfg_kw=dict(N_therm=12, target_acceptance=0.5),
+        L=2, beta=0.5, dtau=0.1, alpha=0.3,
+    )
+    dt0 = np.pi / (2 * 4)
+    assert "hmc_dt_final" in meta
+    assert meta["hmc_dt_final"] > dt0 * 1.2
+    assert meta["hmc_dt_final"] <= 8 * dt0 + 1e-12
+
+
+def test_driver_acceptance_targeted_dt_multiwalker(tmp_path):
+    sim_info, meta = _run(
+        tmp_path, chain_model,
+        cfg_kw=dict(N_therm=10, target_acceptance=0.5, n_walkers=2),
+        L=2, beta=0.5, dtau=0.1, alpha=0.3,
+    )
+    dt0 = np.pi / (2 * 4)
+    assert meta["hmc_dt_final"] > dt0 * 1.1
