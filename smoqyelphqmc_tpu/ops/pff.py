@@ -142,11 +142,13 @@ def fermionic_action_and_force(
 
         mode = fused_cg_mode()
         # OPT-IN (default off): in isolation the fused contraction beats the
-        # XLA chain (scan24 8.9 vs 10.8 ms, scripts/force_ab.py), but inside
-        # the full hmc_update program this toolchain's scheduler degrades the
-        # whole trajectory ~4x (229 vs 61 ms at W=1; worse at smaller Nt) in a
-        # way not reproducible in any isolated slice of the step — tracked as
-        # a Mosaic/XLA interaction, not an algorithmic cost (BENCH.md).
+        # XLA chain (scan24 8.9 vs 10.8 ms, scripts/force_ab.py), and at W = 8
+        # it is mildly faster end-to-end (144.7 vs 150.3 ms/trajectory, clean
+        # single-executable processes) — but at W = 1 this toolchain's
+        # scheduler degrades the whole trajectory ~6.5x (192.5 vs 29.6 ms,
+        # re-confirmed with artifact-free measurement) in a way not
+        # reproducible in any isolated slice of the step. Tracked as a
+        # Mosaic/XLA interaction, not an algorithmic cost (BENCH.md).
         if os.environ.get("SMOQY_FUSED_FORCE", "0") != "1":
             mode = None
         if mode is not None:
