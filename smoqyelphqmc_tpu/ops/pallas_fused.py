@@ -27,10 +27,12 @@ TPU mapping (the load-bearing choices):
   - The tau axis rides the sublane dimension; the antiperiodic time shift is a
     sublane pltpu.roll plus precomputed (Ltau, 1) boundary-sign columns.
 
-Scope: float32, real hoppings, symmetric factorization — exactly the production
-force-solve path (driver default force_dtype="float32") and the inner loop of
-mixed-precision CG. f64 action solves and complex-hopping models use the XLA
-path (Mosaic has no f64 compute; complex models carry channel mixing).
+Scope: float32, real hoppings — exactly the production force-solve path
+(driver default force_dtype="float32") and the inner loop of mixed-precision
+CG. The whole-solve PCG kernel covers BOTH factorizations (sym B = CB^T D CB
+and asym B = D CB with B^T = CB^T D); the standalone matvec kernels remain
+symmetric-only. f64 action solves and complex-hopping models use the XLA path
+(Mosaic has no f64 compute; complex models carry channel mixing).
 
 Reference for the operation semantics: /root/reference/src/FermionDetMatrix.jl:329-340
 (mul_MtM!), :385-427 (mul_M!), :484-525 (mul_Mt!), and
@@ -370,7 +372,7 @@ def _pcg_kernel(
     b_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
     Wre_ref, Wim_ref, Q_ref, filt_ref,
     x_ref, aux_ref,
-    *, shifts, tol, maxiter,
+    *, shifts, tol, maxiter, symmetric,
 ):
     Bc, Ltau, N = b_ref.shape
     n_colors = len(shifts)
@@ -392,16 +394,27 @@ def _pcg_kernel(
             u = acc
         return u
 
+    # sym: B = CB^T D CB (self-transpose); asym: B = D CB, B^T = CB^T D
+    # (ops/fermion_det.py:apply_B/apply_Bt)
     def apply_B(u):
-        u = cb(u, transpose=True)
+        if symmetric:
+            u = cb(u, transpose=True)
+            u = expV_ref[:] * u
+            return cb(u, transpose=False)
+        u = cb(u, transpose=False)
+        return expV_ref[:] * u
+
+    def apply_Bt(u):
+        if symmetric:
+            return apply_B(u)
         u = expV_ref[:] * u
-        return cb(u, transpose=False)
+        return cb(u, transpose=True)
 
     def mtm(v):
         u = pltpu.roll(v, jnp.int32(1), 1)
         u = apply_B(u)
         m = v + sgn1_ref[:] * u
-        w = apply_B(m)
+        w = apply_Bt(m)
         w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)
         return m + sgnL_ref[:] * w
 
@@ -510,11 +523,12 @@ def _pcg_kernel(
 def _pcg_call(
     b, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt,
     shifts, tol: float, maxiter: int, chunk: int, interpret: bool,
+    symmetric: bool = True,
 ):
     B, Ltau, N = b.shape
     Lh = Wre.shape[0]  # Ltau, or Ltau/2 under half-spectrum symmetry
     kernel = functools.partial(
-        _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter
+        _pcg_kernel, shifts=shifts, tol=tol, maxiter=maxiter, symmetric=symmetric
     )
     n_chunks = B // chunk
     x, aux = pl.pallas_call(
@@ -555,12 +569,13 @@ class FusedPCG:
     semantics (per-system eps; converged = all finite + below tol; iters =
     max over batch chunks)."""
 
-    def __init__(self, arrays, shifts, interpret, max_chunk=4, mtm=None):
+    def __init__(self, arrays, shifts, interpret, max_chunk=4, mtm=None, symmetric=True):
         self.arrays = arrays
         self.shifts = shifts
         self.interpret = interpret
         self.max_chunk = max_chunk
         self.mtm = mtm  # XLA M^T M matvec for the out-of-kernel warm residual
+        self.symmetric = symmetric
 
     def __call__(self, b: jnp.ndarray, x0=None, tol: float = 1e-5, maxiter: int = 500):
         from .cg import CGStats
@@ -589,7 +604,7 @@ class FusedPCG:
         x, eps, iters = _pcg_call(
             rhs, *self.arrays,
             shifts=self.shifts, tol=float(tol), maxiter=int(maxiter),
-            chunk=chunk, interpret=self.interpret,
+            chunk=chunk, interpret=self.interpret, symmetric=self.symmetric,
         )
         x = x * safe_normb
         if x0 is not None:
@@ -784,7 +799,10 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     the safe and the fast choice."""
     from .spectral_precond import SpectralPreconditioner
 
-    if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
+    # symmetric AND asymmetric factorizations are supported (the asym matvec
+    # uses B = D CB / B^T = CB^T D inside the kernel; the asym spectral
+    # preconditioner's half-angle Q/filt apply is structurally identical)
+    if not _HAS_PALLAS or fdm.complex_hops or fdm.cb.n_colors == 0:
         return None
     if not isinstance(pre, SpectralPreconditioner) or pre.complex_pair:
         return None
@@ -841,4 +859,5 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
         _sign_col(Ltau, True), _sign_col(Ltau, False),
         Wre, Wim, pre.Q.astype(jnp.bfloat16), pair * pre.filt[:Lh].astype(f32),
     )
-    return FusedPCG(arrays, shifts, interpret, max_chunk, mtm=fdm.mul_MtM)
+    return FusedPCG(arrays, shifts, interpret, max_chunk, mtm=fdm.mul_MtM,
+                    symmetric=fdm.symmetric)

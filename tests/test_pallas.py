@@ -174,3 +174,22 @@ def test_solve_mtm_fused_gate_matches(rng, monkeypatch):
     x64, s64 = solve_MtM(fdm, b64, precond=pre, tol=1e-10, maxiter=400, mixed=True)
     assert bool(s64.converged)
     np.testing.assert_allclose(np.asarray(x64), np.asarray(x64_ref), rtol=1e-8, atol=1e-9)
+
+
+def test_fused_pcg_asymmetric_matches_cg(rng):
+    """The fused whole-solve kernel also covers the ASYMMETRIC factorization
+    (B = D CB, B^T = CB^T D) with the half-angle spectral preconditioner."""
+    geo, tbm, tbp, elph_model, elph = chain_model(L=6, beta=0.8, alpha=0.4)
+    fpi = build_path_integral(tbp, elph)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=False)
+    pre = build_spectral(fdm)
+    fused = build_fused_pcg(fdm, pre, interpret=True)
+    assert fused is not None and not fused.symmetric
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    x_ref, s_ref = cg_solve(
+        fdm.astype("float32").mul_MtM, b, precond=pre.as_operator(), tol=1e-5, maxiter=400
+    )
+    x, s = fused(b, tol=1e-5, maxiter=400)
+    assert bool(s.converged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
