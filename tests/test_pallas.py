@@ -193,3 +193,24 @@ def test_fused_pcg_asymmetric_matches_cg(rng):
     x, s = fused(b, tol=1e-5, maxiter=400)
     assert bool(s.converged)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_pcg_ssh_matches_cg(rng):
+    """SSH couplings make the hopping tables time-dependent ((Ltau, N) planes,
+    no static-row compression) — the fused solver must still match XLA."""
+    geo, tbm, tbp, elph_model, elph = chain_model(L=6, beta=0.8, alpha=0.4, ssh=True)
+    x = jnp.asarray(0.3 * np.random.default_rng(1).standard_normal(elph.x.shape))
+    fpi = build_path_integral(tbp, elph, x=x)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    assert not fdm.static_hops
+    pre = build_spectral(fdm)
+    fused = build_fused_pcg(fdm, pre, interpret=True)
+    assert fused is not None
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    x_ref, _ = cg_solve(
+        fdm.astype("float32").mul_MtM, b, precond=pre.as_operator(), tol=1e-5, maxiter=400
+    )
+    xs, s = fused(b, tol=1e-5, maxiter=400)
+    assert bool(s.converged)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
