@@ -37,6 +37,11 @@ def _candidate_modes(ctx: QMCContext, phonon_types: Optional[Sequence[int]]) -> 
     cands = []
     frozen = elph.frozen_mask
     for t in types:
+        if not (0 <= t < elph.nphonon):
+            raise ValueError(
+                f"phonon type {t} out of range: model has {elph.nphonon} phonon "
+                f"mode type(s) (valid ids 0..{elph.nphonon - 1})"
+            )
         modes = t * n_cells + np.arange(n_cells)
         cands.append(modes[~frozen[modes]])
     if not cands:
