@@ -368,29 +368,23 @@ def _sign_col(Ltau: int, first: bool) -> jnp.ndarray:
 # iteration count. The CG recurrences and dots stay f32.
 
 
-def _pcg_kernel(
-    b_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
-    Wre_ref, Wim_ref, Q_ref, filt_ref,
-    x_ref, aux_ref,
-    *, shifts, tol, maxiter, symmetric,
-):
-    Bc, Ltau, N = b_ref.shape
+def _pcg_ops(C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
+             Wre_ref, Wim_ref, Q_ref, filt_ref,
+             Bc, Ltau, N, shifts, symmetric):
+    """Shared in-kernel operator set for the whole-solve CG kernels: the
+    checkerboard sweep, the B / B^T / M^T M applications, the half-spectrum
+    spectral-preconditioner apply, and the per-system reductions."""
     n_colors = len(shifts)
     offsets = np.cumsum([0] + [len(s) for s in shifts])
-    # concrete 32-bit scalars: python literals would materialize as f64/i64
-    # constants under enable_x64, which Mosaic cannot lower
-    tol_c = np.float32(tol)
-    one_c = np.float32(1.0)
-    zero_c = np.float32(0.0)
-    maxiter_c = np.int32(maxiter)
 
-    def cb(u, transpose):
+    def cb(u, transpose, neg=False):
         order = reversed(range(n_colors)) if transpose else range(n_colors)
         for c in order:
             acc = C_ref[c] * u
             for k, s in enumerate(shifts[c]):
                 up = pltpu.roll(u, jnp.int32((N - s) % N), 2) if s else u
-                acc = acc + Sk_ref[int(offsets[c]) + k] * up
+                plane = Sk_ref[int(offsets[c]) + k]
+                acc = (acc - plane * up) if neg else (acc + plane * up)
             u = acc
         return u
 
@@ -464,6 +458,27 @@ def _pcg_kernel(
 
     def col(s):  # (Bc, 1) -> (Bc, 1, 1) for broadcasting against vectors
         return s[:, :, None]
+
+    return cb, apply_B, apply_Bt, mtm, precond, sdot, col
+
+
+def _pcg_kernel(
+    b_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
+    Wre_ref, Wim_ref, Q_ref, filt_ref,
+    x_ref, aux_ref,
+    *, shifts, tol, maxiter, symmetric,
+):
+    Bc, Ltau, N = b_ref.shape
+    # concrete 32-bit scalars: python literals would materialize as f64/i64
+    # constants under enable_x64, which Mosaic cannot lower
+    tol_c = np.float32(tol)
+    one_c = np.float32(1.0)
+    zero_c = np.float32(0.0)
+    maxiter_c = np.int32(maxiter)
+    cb, apply_B, apply_Bt, mtm, precond, sdot, col = _pcg_ops(
+        C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref,
+        Wre_ref, Wim_ref, Q_ref, filt_ref, Bc, Ltau, N, shifts, symmetric,
+    )
 
     # The rhs arrives pre-scaled to unit norm per system (FusedPCG.__call__
     # divides by |b| outside and rescales the solution), so the convergence
@@ -561,6 +576,182 @@ def _pcg_call(
     return x, eps, iters
 
 
+class _RefVal:
+    """Wrap an in-kernel VALUE so _pcg_ops' `ref[...]` reads return it (used to
+    route extra per-plane operands through an existing trusted input slot)."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, idx):
+        return self.v
+
+
+def _pcg_force_kernel(
+    bx0_ref, C_ref, Sk_ref, expVLam_ref, sgn1_ref, sgnL_ref,
+    Wre_ref, Wim_ref, Q_ref, filt_ref,
+    out_ref, aux_ref,
+    *, shifts, tol, maxiter, symmetric, want_p2,
+):
+    """Whole-solve PCG + Holstein force-contraction epilogue in ONE kernel.
+
+    The chunk is exactly the (re, im) channel pair of one pseudofermion system
+    (Bc = 2). Unlike _pcg_kernel, the warm start is handled IN-KERNEL (r0 =
+    b - A x0, relative |r| < tol |b| test per channel) because the epilogue
+    needs the FULL solution psi_raw = x0 + e resident in VMEM: it then emits
+    the two site-product planes P1/P2 that ops/derivatives.py:
+    holstein_force_from_planes contracts into dS_f/dx — replacing the XLA
+    chain of mul_M / checkerboard walks / mul_Mt / Lambda products
+    (fermion_det_matrix_dervative.jl:258-290, holstein_shift_matrix.jl:156-201)
+    that otherwise costs hundreds of small per-step fusions (BENCH.md trace).
+
+    All planes ship through ONE packed output block out_ref = (4, Ltau, N):
+    rows 0..1 the solution channels, row 2 = P1, row 3 = P2. A 4-output
+    variant (x, P1, P2, aux) MISCOMPILES on v5e when the surrounding program
+    is a lax.scan body (deterministically wrong planes at correct x; the same
+    kernel is exact when jitted standalone) — packing everything into one
+    block restores the 2-output shape of the production _pcg_kernel, which is
+    scan-proven.
+
+    Similarly, the INPUT signature is held to the production kernel's exact
+    10-operand shape: the warm start x0 rides in the same block as b
+    (bx0_ref = (4, Ltau, N): rows 0..1 = b, rows 2..3 = x0) and the Lambda
+    plane rides below expV (expVLam_ref = (2 Ltau, N)). With x0 and Lam as
+    SEPARATE operands (#2 and #12), the epilogue consumed a corrupted Lam in
+    scan contexts — deterministically wrong planes at a correct solve."""
+    four, Ltau, N = bx0_ref.shape
+    Bc = four // 2
+    tol_c = np.float32(tol)
+    one_c = np.float32(1.0)
+    zero_c = np.float32(0.0)
+    tiny_c = np.float32(1e-30)
+    maxiter_c = np.int32(maxiter)
+    expV = expVLam_ref[0:Ltau]
+    Lam = expVLam_ref[Ltau : 2 * Ltau]
+    cb, apply_B, apply_Bt, mtm, precond, sdot, col = _pcg_ops(
+        C_ref, Sk_ref, _RefVal(expV), sgn1_ref, sgnL_ref,
+        Wre_ref, Wim_ref, Q_ref, filt_ref, Bc, Ltau, N, shifts, symmetric,
+    )
+
+    b = bx0_ref[0:2]
+    x = bx0_ref[2:4]
+    normb = jnp.sqrt(sdot(b, b))
+    tol_col = tol_c * jnp.maximum(normb, tiny_c)
+    r = b - mtm(x)
+    z = precond(r)
+    p = z
+    rdotz = sdot(r, z)
+    eps = jnp.sqrt(sdot(r, r))
+    active = jnp.where(eps >= tol_col, one_c, zero_c)
+
+    def cond(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        return jnp.logical_and(jnp.max(active) > zero_c, it < maxiter_c)
+
+    def body(carry):
+        x, r, p, rdotz, eps, active, it = carry
+        on = active > zero_c
+        Ap = mtm(p)
+        pAp = sdot(p, Ap)
+        alpha = jnp.where(on, rdotz / jnp.where(pAp != zero_c, pAp, one_c), zero_c)
+        x = x + col(alpha) * p
+        r = r - col(alpha) * Ap
+        eps_new = jnp.sqrt(sdot(r, r))
+        eps = jnp.where(on, eps_new, eps)
+        on_new = jnp.logical_and(on, eps >= tol_col)
+        z = precond(r)
+        new_rdotz = sdot(r, z)
+        beta = jnp.where(
+            on_new, new_rdotz / jnp.where(rdotz != zero_c, rdotz, one_c), zero_c
+        )
+        p = jnp.where(col(on_new), z + col(beta) * p, p)
+        rdotz = jnp.where(on_new, new_rdotz, rdotz)
+        active = jnp.where(on_new, one_c, zero_c)
+        return (x, r, p, rdotz, eps, active, it + np.int32(1))
+
+    x, r, p, rdotz, eps, active, it = jax.lax.while_loop(
+        cond, body, (x, r, p, rdotz, eps, active, jnp.int32(0))
+    )
+    out_ref[0:2] = x
+
+    # ---- force epilogue (same op order as _force_kernel / the XLA chain) ----
+    psi = pltpu.roll(x, jnp.int32(1), 1) / Lam
+    lam_psi = pltpu.roll(Lam * psi, jnp.int32(Ltau - 1), 1)
+    w = apply_B(pltpu.roll(lam_psi, jnp.int32(1), 1))
+    sw = sgn1_ref[:] * w
+    A = lam_psi + sw  # = M lam_psi
+    up2 = cb(A, transpose=True)  # CB^T (reversed colors)
+    vp2 = cb(sw, transpose=True, neg=True)  # CB^{-1} (reversed colors, S -> -S)
+    out_ref[2] = up2[0] * vp2[0] + up2[1] * vp2[1]
+    if want_p2:
+        MtA = A + sgnL_ref[:] * pltpu.roll(apply_Bt(A), jnp.int32(Ltau - 1), 1)
+        MtA1 = pltpu.roll(MtA, jnp.int32(1), 1)
+        out_ref[3] = MtA1[0] * psi[0] + MtA1[1] * psi[1]
+    else:
+        out_ref[3] = jnp.zeros((Ltau, N), jnp.float32)
+
+    # relative residuals for CGStats (the in-kernel test is vs tol |b|)
+    eps_rel = eps / jnp.maximum(normb, tiny_c)
+    eps_pad = jnp.pad(eps_rel, ((0, 8 - Bc), (0, 127)))
+    it_plane = jnp.broadcast_to(it.astype(jnp.float32), (8, 128))
+    aux_ref[0] = jnp.concatenate([eps_pad, it_plane], axis=0)
+
+
+def _pcg_force_call(
+    b, x0, C, Sk, expV, sgn1, sgnL, Wre, Wim, Q, filt, Lam,
+    shifts, tol: float, maxiter: int, interpret: bool,
+    symmetric: bool, want_p2: bool,
+):
+    B, Ltau, N = b.shape  # B = 2 * n_systems (channel pairs)
+    chunk = 2  # the epilogue contracts the channel pair of one system
+    Lh = Wre.shape[0]
+    kernel = functools.partial(
+        _pcg_force_kernel, shifts=shifts, tol=tol, maxiter=maxiter,
+        symmetric=symmetric, want_p2=want_p2,
+    )
+    n_chunks = B // chunk
+    # pack (b, x0) per chunk and (expV, Lam) per plane so the operand list is
+    # EXACTLY the production _pcg_kernel's 10-input / 2-output signature (see
+    # _pcg_force_kernel docstring for the scan-context corruption this dodges)
+    bx0 = jnp.concatenate(
+        [b.reshape(n_chunks, chunk, Ltau, N), x0.reshape(n_chunks, chunk, Ltau, N)],
+        axis=1,
+    ).reshape(n_chunks * 4, Ltau, N)
+    expVLam = jnp.concatenate([expV, Lam], axis=0)
+    out, aux = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * 4, Ltau, N), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 16, 128), jnp.float32),
+        ),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((4, Ltau, N), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec(C.shape, lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec(Sk.shape, lambda i: (_Z, _Z, _Z, _Z)),
+            pl.BlockSpec((2 * Ltau, N), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Ltau, 1), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, Ltau), lambda i: (_Z, _Z)),
+            pl.BlockSpec((N, N), lambda i: (_Z, _Z)),
+            pl.BlockSpec((Lh, N), lambda i: (_Z, _Z)),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, Ltau, N), lambda i: (i, _Z, _Z)),
+            pl.BlockSpec((1, 16, 128), lambda i: (i, _Z, _Z)),
+        ),
+        interpret=interpret,
+    )(bx0, C, Sk, expVLam, sgn1, sgnL, Wre, Wim, Q, filt)
+    blk = out.reshape(n_chunks, 4, Ltau, N)
+    x = blk[:, :2].reshape(B, Ltau, N)
+    P1 = blk[:, 2]
+    P2 = blk[:, 3]
+    eps = aux[:, :chunk, 0].reshape(B)
+    iters = aux[:, 8, 0]
+    return x, P1, P2, eps, iters
+
+
 class FusedPCG:
     """Whole-solve fused preconditioned CG for one (fdm, spectral precond) pair.
 
@@ -569,13 +760,44 @@ class FusedPCG:
     semantics (per-system eps; converged = all finite + below tol; iters =
     max over batch chunks)."""
 
-    def __init__(self, arrays, shifts, interpret, max_chunk=4, mtm=None, symmetric=True):
+    def __init__(self, arrays, shifts, interpret, max_chunk=4, mtm=None, symmetric=True,
+                 can_force=False):
         self.arrays = arrays
         self.shifts = shifts
         self.interpret = interpret
         self.max_chunk = max_chunk
         self.mtm = mtm  # XLA M^T M matvec for the out-of-kernel warm residual
         self.symmetric = symmetric
+        # whether the solve+force epilogue variant fits VMEM (set by builder)
+        self.can_force = can_force
+
+    def solve_force(self, b: jnp.ndarray, Lam: jnp.ndarray, x0=None,
+                    tol: float = 1e-5, maxiter: int = 500, want_p2: bool = True):
+        """Solve [M^T M] psi_raw = b for one channel-pair system (2, Ltau, N)
+        AND emit the Holstein force product planes P1/P2 (Ltau, N) from the
+        same kernel (see _pcg_force_kernel). Returns (psi_raw, P1, P2, CGStats)."""
+        from .cg import CGStats
+
+        shape = b.shape
+        Ltau, N = shape[-2], shape[-1]
+        bb = b.astype(jnp.float32).reshape((-1, Ltau, N))
+        if x0 is None:
+            xx0 = jnp.zeros_like(bb)
+        else:
+            xx0 = x0.astype(jnp.float32).reshape((-1, Ltau, N))
+        x, P1, P2, eps, iters = _pcg_force_call(
+            bb, xx0, *self.arrays, Lam.astype(jnp.float32),
+            shifts=self.shifts, tol=float(tol), maxiter=int(maxiter),
+            interpret=self.interpret, symmetric=self.symmetric, want_p2=want_p2,
+        )
+        x = x.reshape(shape)
+        P1 = P1.reshape(shape[:-3] + (Ltau, N)) if P1.shape[0] == 1 else P1
+        P2 = P2.reshape(shape[:-3] + (Ltau, N)) if P2.shape[0] == 1 else P2
+        eps = eps.reshape(shape[:-2]) if len(shape) > 2 else eps.reshape(())
+        iters = jnp.max(iters).astype(jnp.int32)
+        finite = jnp.all(jnp.isfinite(x))
+        converged = jnp.logical_and(finite, jnp.all(eps < tol))
+        return x, P1, P2, CGStats(iters=iters, eps=eps, converged=converged)
 
     def __call__(self, b: jnp.ndarray, x0=None, tol: float = 1e-5, maxiter: int = 500):
         from .cg import CGStats
@@ -859,5 +1081,11 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
         _sign_col(Ltau, True), _sign_col(Ltau, False),
         Wre, Wim, pre.Q.astype(jnp.bfloat16), pair * pre.filt[:Lh].astype(f32),
     )
+    # solve+force epilogue variant (sym Holstein path): chunk pinned to the
+    # channel pair (2); the epilogue's extra residency = the Lam plane + the
+    # in-kernel x0 input + ~3 live temps over the Krylov set
+    can_force = fdm.symmetric and _fits_vmem(
+        Ltau, N, 0, 0, 12, 2, pcg_extra + Ltau * N
+    )
     return FusedPCG(arrays, shifts, interpret, max_chunk, mtm=fdm.mul_MtM,
-                    symmetric=fdm.symmetric)
+                    symmetric=fdm.symmetric, can_force=can_force)

@@ -124,6 +124,39 @@ def fermionic_action_and_force(
         x = x.astype(dt)
         if warm_start is not None:
             warm_start = warm_start.astype(dt)
+    # Fully-fused solve+force path (ops/pallas_fused.py:_pcg_force_kernel): the
+    # whole-solve PCG kernel extended with an in-kernel force-contraction
+    # epilogue — one custom call per leapfrog step replaces the CG solve PLUS
+    # the XLA chain of mul_M / checkerboard walks / mul_Mt / Lambda products.
+    # Unlike the parked two-kernel FusedForce (below), this emits the planes
+    # from the SAME custom call that solved the system, so psi never round-trips
+    # HBM and no extra kernel enters the step's schedule.
+    if Phi.dtype == jnp.float32 and elph.n_ssh == 0 and not mixed:
+        import os
+
+        from .pallas_fused import build_fused_pcg, fused_cg_mode
+
+        mode = fused_cg_mode()
+        if mode is not None and os.environ.get("SMOQY_FUSED_STEP", "1") == "1":
+            fused = build_fused_pcg(fdm, precond, interpret=(mode == "interpret"))
+            if fused is not None and fused.can_force:
+                import numpy as _np
+
+                from .derivatives import holstein_force_from_planes
+
+                Lam = build_lambda(elph, x, fdm.n_sites)
+                rhs = ldiv_lambda_T(Lam, Phi)
+                want_p2 = bool(_np.any(elph.hol_ph_sym))
+                psi_raw, P1, P2, stats = fused.solve_force(
+                    rhs, Lam, x0=warm_start, tol=tol, maxiter=maxiter, want_p2=want_p2
+                )
+                # Sf = Re(Phi^dag psi) = rhs . psi_raw (Lambda is real diagonal)
+                Sf = jnp.sum(rhs * psi_raw)
+                force = holstein_force_from_planes(P1, P2, elph, x, Lam, plan)
+                return ForceResult(
+                    Sf=Sf, force=force.astype(jnp.float64), psi_raw=psi_raw, stats=stats
+                )
+
     res = fermionic_action(
         Phi, elph, fdm, x, precond=precond, tol=tol, maxiter=maxiter, mixed=mixed,
         warm_start=warm_start,

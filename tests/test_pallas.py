@@ -122,11 +122,61 @@ def test_fused_force_matches_xla(model_fn, kw, rng, monkeypatch):
     ref = run()
     monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
     monkeypatch.setenv("SMOQY_FUSED_FORCE", "1")  # opt-in (see ops/pff.py gate)
+    monkeypatch.setenv("SMOQY_FUSED_STEP", "0")  # isolate the two-kernel path
     got = run()
     np.testing.assert_allclose(
         np.asarray(got.force), np.asarray(ref.force), rtol=2e-4, atol=2e-5
     )
     np.testing.assert_allclose(float(got.Sf), float(ref.Sf), rtol=2e-5)
+
+
+@pytest.mark.parametrize("model_fn,kw", [(chain_model, dict(L=6, beta=0.8, alpha=0.4)),
+                                         (honeycomb_model, dict(L=2, beta=0.6, alpha=0.3)),
+                                         (honeycomb_model, dict(L=2, beta=0.6, alpha=0.3, ph_sym=False))])
+def test_fused_pcg_force_matches_xla(model_fn, kw, rng, monkeypatch):
+    """The single-call solve+force kernel (default production path) reproduces
+    the XLA dS_f/dx chain, cold and warm-started."""
+    from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+    from smoqyelphqmc_tpu.ops.pff import fermionic_action_and_force, sample_pseudofermion_fields
+    from smoqyelphqmc_tpu.ops.derivatives import build_force_plan
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    geo, tbm, tbp, elph_model, elph = model_fn(**kw)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    plan = build_force_plan(elph, structure)
+    x = jnp.asarray(0.3 * rng.standard_normal(elph.x.shape))
+    fpi = build_path_integral(tbp, elph, x=x)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    pre = build_spectral(fdm)
+    key = jax.random.PRNGKey(7)
+    Phi, _ = sample_pseudofermion_fields(key, elph, fdm, x)
+
+    def run(warm=None):
+        return fermionic_action_and_force(
+            Phi, elph, fdm, x, plan, precond=pre, tol=1e-5, maxiter=400,
+            solve_dtype="float32", warm_start=warm,
+        )
+
+    monkeypatch.setenv("SMOQY_FUSED_CG", "0")
+    ref = run()
+    monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
+    monkeypatch.setenv("SMOQY_FUSED_STEP", "1")
+    got = run()
+    scale = float(np.max(np.abs(np.asarray(ref.force)))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(got.force), np.asarray(ref.force), rtol=2e-4, atol=2e-4 * scale
+    )
+    np.testing.assert_allclose(float(got.Sf), float(ref.Sf), rtol=2e-5)
+    assert bool(got.stats.converged)
+    # warm start from a perturbation of the solution: fewer iterations, same force
+    warm = ref.psi_raw + 0.05 * jnp.asarray(
+        rng.standard_normal(ref.psi_raw.shape), ref.psi_raw.dtype
+    )
+    got_w = run(warm=warm)
+    assert int(got_w.stats.iters) <= int(got.stats.iters)
+    np.testing.assert_allclose(
+        np.asarray(got_w.force), np.asarray(ref.force), rtol=2e-4, atol=2e-4 * scale
+    )
 
 
 def test_vmem_gate_refuses_oversize():
