@@ -84,7 +84,8 @@ def build_sim(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, Nt=24, tol=1e-10
     tbp = TightBindingParameters.from_model(tbm, rng)
     elph = ElectronPhononParameters.from_model(beta, dtau, em, tbp, rng)
     ctx, state = initialize_qmc(
-        tbp, elph, seed=seed, tol=tol, preconditioner="spectral", force_dtype="float32"
+        tbp, elph, seed=seed, tol=tol, preconditioner="spectral", force_dtype="float32",
+        mixed_precision=True,
     )
     return ctx, state
 

@@ -100,6 +100,7 @@ def fermionic_action_and_force(
     mixed: bool = False,
     solve_dtype: str = "float64",
     warm_start: Optional[jnp.ndarray] = None,
+    fused_step: Optional[bool] = None,
 ) -> ForceResult:
     """dS_f/dx = -2 Re([A psi]^T [dM/dx][Lambda psi]) - 2 Re([M^T A psi]^T [dLambda/dx][psi]),
     A = M Lambda (calculate_derivative_fermionic_action!, PFFCalculator.jl:119-158).
@@ -124,6 +125,11 @@ def fermionic_action_and_force(
         x = x.astype(dt)
         if warm_start is not None:
             warm_start = warm_start.astype(dt)
+    # mixed-precision defect correction is meaningless for an f32 system (the
+    # f32 solve already meets any tol >= f32 resolution — solve_MtM demotes the
+    # flag identically); clearing it here keeps the fused solve+force gate
+    # below reachable from the production driver (mixed_precision=True)
+    mixed = mixed and Phi.dtype == jnp.float64
     # Fully-fused solve+force path (ops/pallas_fused.py:_pcg_force_kernel): the
     # whole-solve PCG kernel extended with an in-kernel force-contraction
     # epilogue — one custom call per leapfrog step replaces the CG solve PLUS
@@ -131,13 +137,29 @@ def fermionic_action_and_force(
     # Unlike the parked two-kernel FusedForce (below), this emits the planes
     # from the SAME custom call that solved the system, so psi never round-trips
     # HBM and no extra kernel enters the step's schedule.
+    #
+    # ENABLED ONLY WHERE VERIFIED: in UNVMAPPED programs this toolchain
+    # corrupts the epilogue planes when the kernel's consumers are compiled
+    # into the same program (deterministic ~30x-wrong forces at the headline
+    # config, single-chain HMC diverges to nan), while the kernel in isolation
+    # — probed stage by stage against interpret mode — is exact, and the SAME
+    # program vmapped over >= 2 walkers is exact vs the XLA chain
+    # (scripts/device_sanity.py). Third context-sensitive Mosaic/XLA
+    # miscompile flavor for this kernel (see _pcg_force_kernel docstring).
+    # Callers that KNOW they run vmapped multi-walker sweeps pass
+    # fused_step=True (updates/hmc.py via HMCParams.fused_step_force, set by
+    # parallel/walkers.walker_sweep); everything else defaults to the
+    # scan-proven plain fused solve + XLA force chain. SMOQY_FUSED_STEP=0/1
+    # force-overrides either way.
     if Phi.dtype == jnp.float32 and elph.n_ssh == 0 and not mixed:
         import os
 
         from .pallas_fused import build_fused_pcg, fused_cg_mode
 
         mode = fused_cg_mode()
-        if mode is not None and os.environ.get("SMOQY_FUSED_STEP", "1") == "1":
+        env_fs = os.environ.get("SMOQY_FUSED_STEP")
+        use_fused_step = (env_fs == "1") if env_fs is not None else bool(fused_step)
+        if mode is not None and use_fused_step:
             fused = build_fused_pcg(fdm, precond, interpret=(mode == "interpret"))
             if fused is not None and fused.can_force:
                 import numpy as _np

@@ -179,6 +179,40 @@ def test_fused_pcg_force_matches_xla(model_fn, kw, rng, monkeypatch):
     )
 
 
+def test_fused_step_reachable_with_mixed_precision(rng, monkeypatch):
+    """mixed=True (the production driver default) must not mask the fused
+    solve+force path: for an f32 force solve, defect correction is meaningless
+    and the gate treats mixed as False. Regression for the round-2 gate
+    mismatch (driver ran the XLA force chain while bench ran the fused one)."""
+    from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+    from smoqyelphqmc_tpu.ops.pff import fermionic_action_and_force, sample_pseudofermion_fields
+    from smoqyelphqmc_tpu.ops.derivatives import build_force_plan
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    geo, tbm, tbp, elph_model, elph = chain_model(L=6, beta=0.8, alpha=0.4)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    plan = build_force_plan(elph, structure)
+    x = jnp.asarray(0.3 * rng.standard_normal(elph.x.shape))
+    fpi = build_path_integral(tbp, elph, x=x)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    pre = build_spectral(fdm)
+    Phi, _ = sample_pseudofermion_fields(jax.random.PRNGKey(7), elph, fdm, x)
+
+    def run(mixed):
+        return fermionic_action_and_force(
+            Phi, elph, fdm, x, plan, precond=pre, tol=1e-5, maxiter=400,
+            solve_dtype="float32", mixed=mixed,
+        )
+
+    monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
+    monkeypatch.setenv("SMOQY_FUSED_STEP", "1")
+    a = run(mixed=False)
+    b = run(mixed=True)
+    # identical program: both take the fused solve+force branch
+    np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
+    np.testing.assert_array_equal(np.asarray(a.psi_raw), np.asarray(b.psi_raw))
+
+
 def test_vmem_gate_refuses_oversize():
     """Configurations whose Krylov state cannot fit VMEM must fall back to the
     XLA path (build_* returns None) instead of hard-failing the Mosaic compile
