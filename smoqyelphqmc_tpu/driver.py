@@ -478,7 +478,13 @@ def _run_multiwalker(
         # (vmapped eigh batches poorly; iteration counts are unchanged — see
         # parallel/walkers.py:shared_precond_refresh)
         s = shared_precond_refresh(with_mu(ctx, jnp.mean(mus)), s)
-        hmc_p = hmc_params.replace(refresh_precond_at_start=s.precond is None, dt=dt_)
+        # fused solve+force epilogue only in vmapped multi-walker programs
+        # (>= 2 walkers) — the unvmapped lowering corrupts the force planes
+        # on this toolchain (ops/pff.py gate comment)
+        hmc_p = hmc_params.replace(
+            refresh_precond_at_start=s.precond is None, dt=dt_,
+            fused_step_force=W >= 2,
+        )
 
         def one(s1, mu):
             c = with_mu(ctx, mu)

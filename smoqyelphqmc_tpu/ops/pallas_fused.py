@@ -591,7 +591,7 @@ def _pcg_force_kernel(
     bx0_ref, C_ref, Sk_ref, expVLam_ref, sgn1_ref, sgnL_ref,
     Wre_ref, Wim_ref, Q_ref, filt_ref,
     out_ref, aux_ref,
-    *, shifts, tol, maxiter, symmetric, want_p2,
+    *, shifts, tol, maxiter, symmetric, want_p2, probe="",
 ):
     """Whole-solve PCG + Holstein force-contraction epilogue in ONE kernel.
 
@@ -682,6 +682,22 @@ def _pcg_force_kernel(
     A = lam_psi + sw  # = M lam_psi
     up2 = cb(A, transpose=True)  # CB^T (reversed colors)
     vp2 = cb(sw, transpose=True, neg=True)  # CB^{-1} (reversed colors, S -> -S)
+    if probe == "lam":  # diagnostic probes: compiled-vs-interpret bisection
+        out_ref[2] = Lam
+        out_ref[3] = expV
+        return
+    if probe == "psi":
+        out_ref[2] = psi[0]
+        out_ref[3] = lam_psi[0]
+        return
+    if probe == "w":
+        out_ref[2] = w[0]
+        out_ref[3] = A[0]
+        return
+    if probe == "up":
+        out_ref[2] = up2[0]
+        out_ref[3] = vp2[0]
+        return
     out_ref[2] = up2[0] * vp2[0] + up2[1] * vp2[1]
     if want_p2:
         MtA = A + sgnL_ref[:] * pltpu.roll(apply_Bt(A), jnp.int32(Ltau - 1), 1)
@@ -705,9 +721,12 @@ def _pcg_force_call(
     B, Ltau, N = b.shape  # B = 2 * n_systems (channel pairs)
     chunk = 2  # the epilogue contracts the channel pair of one system
     Lh = Wre.shape[0]
+    import os as _os
+
     kernel = functools.partial(
         _pcg_force_kernel, shifts=shifts, tol=tol, maxiter=maxiter,
         symmetric=symmetric, want_p2=want_p2,
+        probe=_os.environ.get("SMOQY_FORCE_PROBE", ""),
     )
     n_chunks = B // chunk
     # pack (b, x0) per chunk and (expV, Lam) per plane so the operand list is

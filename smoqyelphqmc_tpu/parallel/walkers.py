@@ -96,6 +96,12 @@ def walker_sweep(
     if shared_precond and states.precond is not None:
         states = shared_precond_refresh(ctx, states)
         hmc_params = hmc_params.replace(refresh_precond_at_start=False)
+    # the fused solve+force epilogue is verified correct ONLY in vmapped
+    # multi-walker programs (>= 2 walkers); the unvmapped lowering corrupts
+    # the planes on this toolchain (ops/pff.py gate comment)
+    n_walkers = jax.tree_util.tree_leaves(states.x)[0].shape[0]
+    if n_walkers >= 2:
+        hmc_params = hmc_params.replace(fused_step_force=True)
 
     def one(state):
         state, r = reflection_update(ctx, state)

@@ -51,6 +51,12 @@ class HMCParams:
     # (driver-level cadence control: staleness affects only CG iteration count,
     # never the sampled distribution)
     refresh_precond_at_start: bool = static_field(default=True)
+    # enable the fused solve+force epilogue kernel for the trajectory solves.
+    # ONLY safe in vmapped multi-walker sweeps (set by walker_sweep when
+    # n_walkers >= 2): the unvmapped lowering deterministically corrupts the
+    # force planes on this toolchain (ops/pff.py gate comment;
+    # scripts/device_sanity.py). SMOQY_FUSED_STEP=0/1 overrides.
+    fused_step_force: bool = static_field(default=False)
 
     def timestep(self):
         import math
@@ -130,7 +136,7 @@ def hmc_update(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
             mixed=ctx.mixed_precision, solve_dtype=ctx.force_dtype,
-            warm_start=psi_warm,
+            warm_start=psi_warm, fused_step=params.fused_step_force,
         )
         psi_prev2 = psi_prev
         psi_prev = res.psi_raw.astype(psi_prev.dtype)
