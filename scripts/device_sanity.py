@@ -96,6 +96,56 @@ def main():
         f"dH {dH:.3e} conv {bool(np.asarray(st.converged))} iters {float(np.asarray(st.iters_avg)):.1f}",
     )
 
+    # 4. end-to-end sampling physics through the PRODUCTION multi-walker
+    #    program (walker_sweep at W=2 => fused solve+force epilogue active):
+    #    ph-symmetric Holstein at mu=0 has EXACTLY <n> = 1 — a symmetry the
+    #    sampler must reproduce regardless of coupling strength, so any
+    #    silent force/measurement corruption shows up as a density bias.
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from _models import chain_model
+
+    from smoqyelphqmc_tpu.measure.greens_estimator import (
+        build_greens_estimator,
+        update_greens_estimator,
+    )
+    from smoqyelphqmc_tpu.measure.scalar import measure_n
+    from smoqyelphqmc_tpu.parallel.walkers import init_walker_states, walker_sweep
+    from smoqyelphqmc_tpu.updates import initialize_qmc
+
+    geo, tbm, tbp, em, elph = chain_model(L=4, t=1.0, mu=0.0, Omega=1.0, alpha=0.8,
+                                          beta=2.0, dtau=0.05)
+    ctx2, st0 = initialize_qmc(tbp, elph, seed=5, tol=1e-9, force_dtype="float32",
+                               mixed_precision=True)
+    states = init_walker_states(ctx2, st0, 2, seed=7)
+    p2 = HMCParams(Nt=10)
+    sweep = jax.jit(lambda s: walker_sweep(ctx2, s, p2))
+    est = build_greens_estimator(elph.Ltau, geo.n_orbitals, geo.L, Nrv=8, dtype="float32")
+
+    def _meas(s, key):
+        fdm = make_fdm(ctx2, s.x)
+        upd = update_greens_estimator(est, fdm, key, precond=s.precond,
+                                      tol=1e-6, maxiter=2000, solve_dtype="float32")
+        return measure_n(upd.estimator)[0]
+
+    meas = jax.jit(jax.vmap(_meas))
+    for _ in range(15):
+        states, _ = sweep(states)
+    ns = []
+    key2 = jax.random.PRNGKey(11)
+    for k in range(25):
+        states, (r, sw, h) = sweep(states)
+        key2, kk = jax.random.split(key2)
+        ns.append(np.asarray(meas(states, jax.random.split(kk, 2))))
+    n_mean = 2.0 * float(np.mean(ns))  # spin factor 2: <n> per site
+    ok_h = bool(np.all(np.asarray(h.converged)))
+    check(
+        "W=2 sampling: ph-symmetric <n> == 1",
+        ok_h and abs(n_mean - 1.0) < 0.05,
+        f"<n> = {n_mean:.4f} (exact 1), hmc conv {ok_h}",
+    )
+
     print("FAILED:" if FAILED else "ALL CHECKS PASSED", FAILED or "")
     sys.exit(1 if FAILED else 0)
 
