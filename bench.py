@@ -21,6 +21,24 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for the LARGE programs (sweep /
+    walker-sweep / measured pass): on a small host their compiles dominate
+    wall time (142s -> 34s measured for the sweep program on a warm cache).
+
+    Deliberately enabled only AFTER the matvec stage: on the tunneled axon
+    backend the cache-hit path for the small matvec loop program is
+    pathologically SLOW (87s cache-free vs 241-368s with a warm cache,
+    measured twice) — consistent with the terminal/client libtpu version skew
+    rejecting deserialized executables (see MULTICHIP_r01 error text) and
+    falling back slowly. The big programs load fine and fast."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/smoqy_jax_cache_dev")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def build_case(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, seed=0):
     from smoqyelphqmc_tpu import (
         Bond,
@@ -279,7 +297,49 @@ def main():
         )
         return
 
-    rate = bench_matvecs()
+    # --- robustness scaffolding: the tunneled device has high wall-time
+    # variance (a single stage was observed to swing 55s -> 368s between
+    # identical runs). The headline JSON line must be recorded even if the
+    # invoking driver times this process out, so (a) optional stages are
+    # skipped when an internal budget runs low and (b) SIGTERM emits whatever
+    # is complete and exits 0.
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("SMOQY_BENCH_BUDGET_S", "520"))
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    result = {
+        "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
+        "value": None,
+        "unit": "matvec/s",
+        "vs_baseline": None,
+        "extras": {},
+    }
+    _emitted = []
+
+    def _emit():
+        if not _emitted:
+            _emitted.append(True)
+            print(json.dumps(result), flush=True)
+
+    import signal
+
+    def _on_term(signum, frame):  # pragma: no cover
+        print(f"[bench] signal {signum}: emitting partial result", file=sys.stderr)
+        _emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    def _stage(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s wall", file=sys.stderr)
+        return out
+
+    rate = _stage("matvecs", bench_matvecs)
+    result["value"] = round(rate, 2)
 
     # single-core CPU baseline in a subprocess (proxy for the reference's
     # single-core Julia sweep; same memory-bound kernel structure)
@@ -291,7 +351,7 @@ def main():
             [sys.executable, os.path.abspath(__file__), "cpu-baseline"],
             capture_output=True,
             text=True,
-            timeout=900,
+            timeout=max(60.0, min(900.0, remaining() - 60.0)),
             env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -299,6 +359,10 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu_rate = None
+    result["vs_baseline"] = round(rate / cpu_rate, 2) if cpu_rate else None
+
+    # cache only the big sweep/measure programs (see _enable_compile_cache)
+    _enable_compile_cache()
 
     def _retry(fn, attempts=3):
         """The tunneled device occasionally drops a remote-compile connection;
@@ -311,24 +375,32 @@ def main():
                 time.sleep(5)
         return None
 
-    sweeps = _retry(lambda: bench_sweeps())
-    sweeps_rate, cg_iters = sweeps if sweeps is not None else (None, None)
-    walker_rate = _retry(lambda: bench_walker_sweeps(W=8))
-    measured_rate = _retry(lambda: bench_walker_measured(W=8))
+    def _optional(name, min_headroom_s, fn, apply):
+        """Run an extras stage only if the internal budget allows (a skipped
+        stage is logged; the headline JSON still prints)."""
+        if remaining() < min_headroom_s:
+            print(f"[bench] skipping {name}: {remaining():.0f}s budget left", file=sys.stderr)
+            return
+        out = _stage(name, lambda: _retry(fn))
+        if out is not None:
+            apply(out)
 
-    result = {
-        "metric": "MtM matvecs/sec (Holstein honeycomb L=12, beta=12, Ltau=240, N=288, f64)",
-        "value": round(rate, 2),
-        "unit": "matvec/s",
-        "vs_baseline": round(rate / cpu_rate, 2) if cpu_rate else None,
-        "extras": {
-            "hmc_sweeps_per_sec": round(sweeps_rate, 4) if sweeps_rate else None,
-            "walker8_sweeps_per_sec": round(walker_rate, 4) if walker_rate else None,
-            "walker8_measured_sweeps_per_sec": round(measured_rate, 4) if measured_rate else None,
-            "cg_iters_per_solve": round(cg_iters, 1) if cg_iters else None,
-        },
-    }
-    print(json.dumps(result))
+    ex = result["extras"]
+    _optional(
+        "sweeps", 170.0, bench_sweeps,
+        lambda s: ex.update(
+            hmc_sweeps_per_sec=round(s[0], 4), cg_iters_per_solve=round(s[1], 1)
+        ),
+    )
+    _optional(
+        "walker8", 190.0, lambda: bench_walker_sweeps(W=8),
+        lambda r: ex.update(walker8_sweeps_per_sec=round(r, 4)),
+    )
+    _optional(
+        "measured8", 220.0, lambda: bench_walker_measured(W=8),
+        lambda r: ex.update(walker8_measured_sweeps_per_sec=round(r, 4)),
+    )
+    _emit()
 
 
 if __name__ == "__main__":
