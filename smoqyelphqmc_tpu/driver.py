@@ -417,13 +417,40 @@ def _run_multiwalker(
     during thermalization, per-walker density-tuning profiles, and wall-clock-gated
     checkpoint/resume (incl. the partial-bin accumulators and host RNG, so the MPI
     + checkpoint tutorial composition, holstein_honeycomb_checkpoint.jl:383-416,
-    carries over)."""
+    carries over).
+
+    MULTI-HOST: when `jax.distributed.initialize()` was called with more than one
+    process (parallel.distributed.initialize_distributed), the walker axis is
+    sharded over the GLOBAL mesh and every host runs this same driver program
+    SPMD. Each host then writes ONLY the bin files / tuning profiles of its own
+    walkers (parallel.distributed.local_walker_ids — the per-rank output files of
+    the reference's MPI tutorial, holstein_honeycomb_mpi.jl:59-72), checkpoints
+    its local walker block under its process index, and process 0 alone
+    initializes the datafolder and runs the final statistics merge. Multi-host
+    callers should pass an explicit sID in SimulationInfo (the auto-increment
+    scans the filesystem and can race across hosts)."""
+    from .parallel.distributed import (
+        barrier,
+        global_walker_array,
+        global_walker_mesh,
+        local_walker_block,
+        local_walker_ids,
+        walker_row,
+        walker_row_tree,
+    )
     from .parallel.walkers import init_walker_states, shard_walker_states, walker_mesh
 
     start_time = time.time()
-    initialize_datafolder(sim_info)
+    multihost = jax.process_count() > 1
+    proc = jax.process_index()
+    if not multihost or proc == 0:
+        initialize_datafolder(sim_info)
     geo = spec.geometry
-    model_summary(sim_info, cfg.beta, cfg.dtau, geo, tight_binding_model, (electron_phonon_model,))
+    if not multihost or proc == 0:
+        model_summary(
+            sim_info, cfg.beta, cfg.dtau, geo, tight_binding_model, (electron_phonon_model,)
+        )
+    barrier("datafolder_init")
 
     rng = np.random.default_rng(cfg.seed)
     tbp = TightBindingParameters.from_model(tight_binding_model, rng)
@@ -435,7 +462,14 @@ def _run_multiwalker(
         force_dtype=cfg.force_dtype,
     )
     W = cfg.n_walkers
-    mesh = walker_mesh(min(W, len(jax.devices())))
+    if multihost:
+        # global mesh over every process's devices; each host owns the walkers
+        # whose shards live on its devices (W must divide evenly)
+        mesh = global_walker_mesh()
+        owned = list(local_walker_ids(mesh, W))
+    else:
+        mesh = walker_mesh(min(W, len(jax.devices())))
+        owned = list(range(W))
     states = shard_walker_states(init_walker_states(ctx, state0, W, seed=cfg.seed + 1), mesh)
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
@@ -450,11 +484,18 @@ def _run_multiwalker(
     mu0 = float(np.asarray(tbp.mu))
     mu_walkers = jnp.full((W,), mu0)
     tuners = None
-    tuning_history_vecs = []  # one (mu, n, N2) (W,)-vector triple per tuner update
+    # one (mu, n, N2) triple per tuner update; (W,) device vectors single-host,
+    # owned-walker numpy blocks multi-host (a cross-host array is not readable)
+    tuning_history_vecs = []
     if cfg.target_density is not None:
         t0 = init_mu_tuner(cfg.target_density, cfg.beta, tbp.n_sites, mu0)
         tuners = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a, (W,) + jnp.shape(a)), t0)
         tune_step = jax.jit(jax.vmap(mu_tuner_update))
+
+    def hist_entry(mu, n, N2):
+        if multihost:
+            return tuple(local_walker_block(a, owned) for a in (mu, n, N2))
+        return (mu, n, N2)
 
     def with_mu(ctx_, mu):
         return ctx_.replace(tbp=ctx_.tbp.replace(mu=mu))
@@ -568,7 +609,7 @@ def _run_multiwalker(
         "swap_iters": 0.0,
         "measurement_iters": 0.0,
     }
-    accs = [MeasurementAccumulator(spec) for _ in range(W)]
+    accs = {w: MeasurementAccumulator(spec) for w in owned}
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
     therm_done = 0
     meas_done = 0
@@ -590,60 +631,68 @@ def _run_multiwalker(
     # ------------------------------------------------------------------
     # resume
     # ------------------------------------------------------------------
+    cp_pID = proc if multihost else sim_info.pID
+
+    def to_global(a):
+        """Resume helper: local walker block (multihost) or full array -> device."""
+        return global_walker_array(np.asarray(a), mesh, W) if multihost else jnp.asarray(a)
+
     if resume:
-        cp = read_checkpoint(sim_info.datafolder, sim_info.pID)
+        cp = read_checkpoint(sim_info.datafolder, cp_pID)
         if cp is not None:
             s = cp["state"]
-            states = shard_walker_states(
-                QMCState(x=jnp.asarray(s["x"]), key=jnp.asarray(s["key"]), precond=states.precond),
-                mesh,
-            )
+            qs = QMCState(x=to_global(s["x"]), key=to_global(s["key"]), precond=states.precond)
+            states = qs if multihost else shard_walker_states(qs, mesh)
             therm_done = int(s["therm_done"])
             meas_done = int(s["meas_done"])
             metadata.update(s["metadata"])
             key = jnp.asarray(s["key_host"])
-            mu_walkers = jnp.asarray(s["mu_walkers"])
+            mu_walkers = to_global(s["mu_walkers"])
             if s.get("hmc_dt") is not None:
                 dt_cur = jnp.asarray(s["hmc_dt"])
             if tuners is not None and s.get("tuners") is not None:
-                tuners = tuners.replace(**{k: jnp.asarray(v) for k, v in s["tuners"].items()})
+                tuners = tuners.replace(**{k: to_global(v) for k, v in s["tuners"].items()})
             if s.get("tuning_history_vecs") is not None:
                 tuning_history_vecs = [tuple(t) for t in s["tuning_history_vecs"]]
             if s.get("accs") is not None:
-                for w, a in enumerate(s["accs"]):
+                for w, a in zip(owned, s["accs"]):
                     accs[w].sums = a["sums"]
                     accs[w].count = int(a["count"])
+
+    def to_local(a):
+        """Checkpoint helper: owned walker block (multihost) or the array itself."""
+        return local_walker_block(a, owned) if multihost else a
 
     def maybe_checkpoint():
         nonlocal cp_stamp
         sync_metadata()
         tree = {
-            "x": states.x,
-            "key": states.key,
+            "x": to_local(states.x),
+            "key": to_local(states.key),
             "key_host": key,
             "hmc_dt": dt_cur,
             "therm_done": therm_done,
             "meas_done": meas_done,
             "metadata": dict(metadata),
-            "mu_walkers": mu_walkers,
+            "mu_walkers": to_local(mu_walkers),
             "tuners": None
             if tuners is None
             else {
-                "mu": tuners.mu,
-                "t": tuners.t,
-                "mu_sum": tuners.mu_sum,
-                "n_sum": tuners.n_sum,
-                "N_sum": tuners.N_sum,
-                "Nsq_sum": tuners.Nsq_sum,
-                "weight": tuners.weight,
+                "mu": to_local(tuners.mu),
+                "t": to_local(tuners.t),
+                "mu_sum": to_local(tuners.mu_sum),
+                "n_sum": to_local(tuners.n_sum),
+                "N_sum": to_local(tuners.N_sum),
+                "Nsq_sum": to_local(tuners.Nsq_sum),
+                "weight": to_local(tuners.weight),
             },
             "tuning_history_vecs": [tuple(t) for t in tuning_history_vecs],
-            "accs": [{"sums": a.sums, "count": a.count} for a in accs],
+            "accs": [{"sums": accs[w].sums, "count": accs[w].count} for w in owned],
         }
         cp_stamp = write_checkpoint(
             sim_info.datafolder,
             tree,
-            pID=sim_info.pID,
+            pID=cp_pID,
             checkpoint_timestamp=cp_stamp,
             checkpoint_freq_hours=cfg.checkpoint_freq_hours,
         )
@@ -661,7 +710,7 @@ def _run_multiwalker(
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
             # ONE lazy (W,)-vector triple per sweep; split per walker at save time
-            tuning_history_vecs.append((mu_walkers, n_w, N2_w))
+            tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
         therm_done += 1
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
@@ -679,14 +728,20 @@ def _run_multiwalker(
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
-            tuning_history_vecs.append((mu_walkers, n_w, N2_w))
-        for w in range(W):
-            # ONE jitted dispatch per walker (dynamic-slice + add fused)
-            accs[w].accumulate_walker(out, w)
+            tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
+        if multihost:
+            # a cross-host jitted slice is not executable from one process:
+            # read this host's addressable shards and accumulate on host
+            for w in owned:
+                accs[w].accumulate(walker_row_tree(out, w))
+        else:
+            for w in owned:
+                # ONE jitted dispatch per walker (dynamic-slice + add fused)
+                accs[w].accumulate_walker(out, w)
         meas_done += 1
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
-            for w in range(W):
+            for w in owned:
                 write_measurement_bin(
                     sim_info.with_pID(w), b, accs[w].finalize_bin(), spec, dtau=cfg.dtau
                 )
@@ -710,16 +765,28 @@ def _run_multiwalker(
     if cfg.target_acceptance is not None:
         metadata["hmc_dt_final"] = float(np.asarray(dt_cur))
     if tuners is not None:
-        metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
         from .io.simulation_info import save_density_tuning_profile
 
+        # history rows are indexed by OWNED-walker position in multihost mode
+        # (hist_entry extracted the local block at append time)
+        if multihost:
+            metadata["final_mu_per_walker"] = {
+                int(w): float(walker_row(mu_walkers, w)) for w in owned
+            }
+        else:
+            metadata["final_mu_per_walker"] = [float(v) for v in np.asarray(mu_walkers)]
         host_rows = [tuple(np.asarray(a) for a in t) for t in tuning_history_vecs]
-        for w in range(W):
+        for i, w in enumerate(owned):
+            j = i if multihost else w
             save_density_tuning_profile(
-                sim_info.with_pID(w), [(mu[w], n[w], N2[w]) for (mu, n, N2) in host_rows]
+                sim_info.with_pID(w), [(mu[j], n[j], N2[j]) for (mu, n, N2) in host_rows]
             )
-    merge_bins(sim_info)
-    save_simulation_info(sim_info, metadata)
-    process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
-    delete_checkpoints(sim_info.datafolder, sim_info.pID)
+    # every host must have written its bins before process 0 merges
+    barrier("bins_complete")
+    if not multihost or proc == 0:
+        merge_bins(sim_info)
+        save_simulation_info(sim_info, metadata)
+        process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
+    delete_checkpoints(sim_info.datafolder, cp_pID)
+    barrier("finalize_done")
     return metadata

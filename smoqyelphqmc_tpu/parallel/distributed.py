@@ -82,3 +82,53 @@ def gather_walker_scalars(values, mesh: Mesh):
     arr = jax.device_put(values, sharding) if not hasattr(values, "sharding") else values
     # replicate: an all-gather expressed as a resharding to fully-replicated
     return np.asarray(jax.device_put(arr, NamedSharding(mesh, P())))
+
+
+def barrier(name: str = "smoqy_barrier") -> None:
+    """Cross-process synchronization point (folder init / final merge gating —
+    the role of MPI.Barrier around initialize_datafolder in the reference's MPI
+    tutorial, holstein_honeycomb_mpi.jl:72). No-op with one process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def walker_row(a, w: int) -> np.ndarray:
+    """Host copy of walker `w`'s row of a leading-walker-axis array, read ONLY
+    from this process's addressable shards — zero communication, so each host
+    can extract exactly its owned walkers (per-rank file ownership in the
+    reference, holstein_honeycomb_mpi.jl:59-72). `w` must be owned by this
+    process (see local_walker_ids); raises otherwise."""
+    if not isinstance(a, jax.Array) or a.is_fully_addressable:
+        return np.asarray(a)[w]
+    for shard in a.addressable_shards:
+        sl = shard.index[0] if shard.index else slice(None)
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else a.shape[0]
+        if start <= w < stop:
+            return np.asarray(shard.data)[w - start]
+    raise IndexError(
+        f"walker {w} is not addressable on process {jax.process_index()}"
+    )
+
+
+def walker_row_tree(tree, w: int):
+    """`walker_row` mapped over a pytree of leading-walker-axis arrays."""
+    return jax.tree_util.tree_map(lambda a: walker_row(a, w), tree)
+
+
+def local_walker_block(a, owned: Sequence[int]) -> np.ndarray:
+    """Host copy of this process's contiguous walker block (stacked owned rows)
+    — the per-process checkpoint payload."""
+    return np.stack([walker_row(a, w) for w in owned], axis=0)
+
+
+def global_walker_array(local_block: np.ndarray, mesh: Mesh, n_walkers: int):
+    """Reassemble a global leading-walker-axis array from each process's local
+    block (the inverse of local_walker_block; used on checkpoint resume)."""
+    spec = P("walkers", *([None] * (local_block.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    global_shape = (n_walkers,) + local_block.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local_block, global_shape)

@@ -1,0 +1,104 @@
+"""Multi-host walker-fleet execution: two REAL processes coordinated by
+jax.distributed (localhost coordinator), each owning half the walkers of one
+driver run — the TPU-native equivalent of the reference's MPI walker launch
+(/root/reference/tutorials/holstein_honeycomb_mpi.jl:17-72).
+
+The single-process helper API is covered in test_multichip.py; this file proves
+the WIRED driver path: per-host bin ownership, per-process checkpoints, and a
+process-0 statistics merge that sees every host's bins."""
+
+import glob
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch_workers(workdir: str, nproc: int = 2, timeout: int = 600):
+    """Spawn nproc copies of _multihost_worker.py against one coordinator."""
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multihost_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    # the worker sets its own JAX env; scrub the parent test process's settings
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), str(nproc), workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_walker_fleet(tmp_path):
+    workdir = str(tmp_path)
+    _launch_workers(workdir)
+
+    # --- disjoint per-host walker ownership covering every walker -------------
+    reports = []
+    for i in range(2):
+        with open(os.path.join(workdir, f"worker{i}.json")) as f:
+            reports.append(json.load(f))
+    owned = [set(r["owned"]) for r in reports]
+    assert owned[0] & owned[1] == set(), owned
+    assert owned[0] | owned[1] == {0, 1, 2, 3}, owned
+    assert all(r["n_global_devices"] == 4 for r in reports)
+
+    datafolder = os.path.join(workdir, "mh-1")
+
+    # --- every walker's bin stream exists (written by exactly the owning host:
+    # the multihost accumulate path reads ONLY addressable shards and raises on
+    # a non-owned walker id, so completion itself proves ownership discipline) -
+    bins = glob.glob(os.path.join(datafolder, "bins", "bin-*_pID-*.h5"))
+    pids = sorted({p.split("pID-")[1].split(".")[0] for p in bins})
+    assert pids == ["0", "1", "2", "3"], pids
+    assert len(bins) == 4 * 2  # W walkers x N_bins
+
+    # --- per-walker tuner artifacts, written by the owning host only ----------
+    for w in range(4):
+        prof = os.path.join(datafolder, f"density_tuning_profile_pID-{w}.csv")
+        assert os.path.exists(prof), prof
+    mu_reported = {}
+    for r in reports:
+        for k, v in r["final_mu_per_walker"].items():
+            assert int(k) in set(r["owned"])  # each host reports only its own
+            mu_reported[int(k)] = v
+    assert sorted(mu_reported) == [0, 1, 2, 3]
+    assert all(np.isfinite(v) for v in mu_reported.values())
+
+    # --- process-0 merge: one stats.h5 built from ALL hosts' bins -------------
+    stats = os.path.join(datafolder, "stats.h5")
+    assert os.path.exists(stats)
+    import h5py
+
+    # DQMC-only globals are NaN by design (container.py mirrors the reference's
+    # make_measurements.jl:93-117 placeholder entries)
+    NAN_BY_DESIGN = ("sgndetG", "logdetG", "action_fermionic", "action_total")
+    with h5py.File(stats, "r") as f:
+        names = []
+        f.visit(names.append)
+        dsets = [n for n in names if isinstance(f[n], h5py.Dataset)]
+        assert dsets, names
+        for n in dsets:
+            if any(k in n for k in NAN_BY_DESIGN):
+                continue
+            assert np.all(np.isfinite(f[n][...])), n
+
+    # --- per-process checkpoints were written during the run and deleted ------
+    assert glob.glob(os.path.join(datafolder, "*checkpoint*")) == []
