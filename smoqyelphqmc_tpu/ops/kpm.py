@@ -129,6 +129,13 @@ def lanczos_bounds(apply_A, n_sites: int, key, n_steps: int = 20) -> Tuple[jnp.n
 # Static frequency bucketing plan
 # ----------------------------------------------------------------------
 
+# Auto-crossover to the matrix-free checkerboard recurrence: below this the
+# dense blocked-stride apply's latency advantage wins (measured: the blocked
+# recurrence cut 30 ms/apply to ~sqrt(C) matmuls, BENCH.md round 2); above it
+# the dense N^2-per-stride matmuls and the N^2 refresh densification stop
+# scaling while the checkerboard recurrence stays O(n_colors N) per order.
+_MATRIX_FREE_MIN_SITES = 1024
+
 
 def _static_plan(Ltau: int, a1_eff: float, a2: float, cap_delta_eps: float, cap_max=None):
     """Static per-frequency order caps + ONE flat recurrence segment.
@@ -175,6 +182,19 @@ def _cheb_nodes_and_cosmat(C: int):
     return nodes, cosmat  # coefs[k] = sum_j cosmat[k, j] f(m_j)
 
 
+_FIT_GRID = 257  # static evaluation grid for the truncation-positivity guard
+
+
+def _fit_eval_mat(C: int, G: int = _FIT_GRID) -> np.ndarray:
+    """(C, G) matrix evaluating a C-term Chebyshev series on a dense grid of G
+    angles: p(cos theta_g) = sum_k c_k cos(k theta_g). The C fit NODES are exact
+    interpolation points (p(x_j) = f(x_j) > 0 there by construction), so
+    non-positivity of a too-short fit only shows BETWEEN nodes — hence a grid
+    finer than any fit order in use."""
+    theta = np.pi * (np.arange(G) + 0.5) / G
+    return np.cos(np.arange(C)[:, None] * theta[None, :])
+
+
 # ----------------------------------------------------------------------
 # Preconditioner state
 # ----------------------------------------------------------------------
@@ -198,6 +218,7 @@ class KPMPreconditioner:
     fft: TauFourier
     BpT: jnp.ndarray  # (N, N) dense transposed scaled propagator Bbar' = (Bbar - c)/h
     TsT: jnp.ndarray  # (N, N) dense transposed stride matrix T_s(Bbar')
+    order_clip_count: jnp.ndarray  # i32: frequencies whose live order hit the static cap
     symmetric: bool = static_field()
     Ltau: int = static_field()
     n_sites: int = static_field()
@@ -214,6 +235,12 @@ class KPMPreconditioner:
     n_blocks: int = static_field(default=8)
     dtype: str = static_field(default="float32")
     complex_pair: bool = static_field(default=False)
+    # matrix-free apply: the Chebyshev recurrence steps through Bbar via the
+    # averaged CHECKERBOARD (O(n_colors N) per order) instead of the dense
+    # (N, N) stride matmuls — the large-N scaling mode (the reference's apply
+    # is matrix-free throughout, KPMPreconditioner.jl:288-352). Auto-selected
+    # by KPMPreconditioner.build above _MATRIX_FREE_MIN_SITES.
+    matrix_free: bool = static_field(default=False)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -227,12 +254,28 @@ class KPMPreconditioner:
         cap_delta_eps: float = 1.0,
         cap_max=None,
         dtype: str = "float32",
+        matrix_free=None,
     ) -> "KPMPreconditioner":
         """Construct and immediately update (mirrors KPMPreconditioner ctor,
         /root/reference/src/KPMPreconditioner.jl:198-284; a1 doubles for the
-        symmetric propagator as in :263)."""
+        symmetric propagator as in :263).
+
+        matrix_free=None auto-selects: the dense blocked recurrence below
+        _MATRIX_FREE_MIN_SITES (lowest latency at small N, BENCH.md), the
+        O(N)-per-order checkerboard recurrence above it (complex hoppings
+        always take the dense doubled-basis path). SMOQY_KPM_MATRIX_FREE=0/1
+        force-overrides."""
+        import os
+
         Ltau, N = fdm.Ltau, fdm.n_sites
         Ndim = 2 * N if fdm.complex_hops else N  # doubled basis for complex hops
+        if matrix_free is None:
+            env = os.environ.get("SMOQY_KPM_MATRIX_FREE")
+            if env is not None:
+                matrix_free = env == "1"
+            else:
+                matrix_free = N > _MATRIX_FREE_MIN_SITES
+        matrix_free = bool(matrix_free) and not fdm.complex_hops
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
         phi, perm, inv_perm, caps, buckets, block_size, n_blocks = _static_plan(
             Ltau, a1_eff, a2, cap_delta_eps, cap_max
@@ -240,6 +283,9 @@ class KPMPreconditioner:
         dt = jnp.dtype(dtype)
         coefs_re = tuple(jnp.zeros((stop - start, C), dt) for (start, stop, C) in buckets)
         coefs_im = tuple(jnp.zeros((stop - start, C), dt) for (start, stop, C) in buckets)
+        # matrix-free mode never touches the dense stride matrices; keep (1, 1)
+        # placeholders so the pytree structure (and checkpoints) stay uniform
+        dense_dim = 1 if matrix_free else Ndim
         pre = KPMPreconditioner(
             bbar=averaged_propagator(fdm),
             lo=jnp.asarray(0.0),
@@ -248,8 +294,9 @@ class KPMPreconditioner:
             coefs_re=coefs_re,
             coefs_im=coefs_im,
             fft=TauFourier.build(Ltau, dtype=dtype),
-            BpT=jnp.zeros((Ndim, Ndim), dt),
-            TsT=jnp.zeros((Ndim, Ndim), dt),
+            BpT=jnp.zeros((dense_dim, dense_dim), dt),
+            TsT=jnp.zeros((dense_dim, dense_dim), dt),
+            order_clip_count=jnp.asarray(0, jnp.int32),
             symmetric=fdm.symmetric,
             Ltau=Ltau,
             n_sites=N,
@@ -266,6 +313,7 @@ class KPMPreconditioner:
             n_blocks=n_blocks,
             dtype=dtype,
             complex_pair=fdm.complex_hops,
+            matrix_free=matrix_free,
         )
         return kpm_update(pre, fdm, key)
 
@@ -285,33 +333,47 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
     (update_preconditioner!, /root/reference/src/KPMPreconditioner.jl:554-597)."""
     bbar = averaged_propagator(fdm)
     N = pre.n_sites
-    # densify Bbar^T once per refresh (f64). Row-form convention: row k of the
-    # stored matrix is Bbar e_k, so u @ BbarT applies Bbar to row-vectors u.
-    # For complex hoppings the doubled real embedding E = [[Br, -Bi], [Bi, Br]]
-    # is built from channel-paired basis vectors (cf. ops/spectral_precond.py).
-    if pre.complex_pair:
-        eyeN = jnp.eye(N)
-        zeroN = jnp.zeros_like(eyeN)
-        basis = jnp.concatenate(
-            [
-                jnp.stack([eyeN, zeroN], axis=1),  # real unit site vectors
-                jnp.stack([zeroN, eyeN], axis=1),  # imaginary unit site vectors
-            ]
-        )[:, :, None, :]  # (2N, 2, 1, N)
-        out = bbar.apply(basis)  # row k = Bbar e_k as a channel pair
-        BbarT = jnp.concatenate([out[:, 0, 0, :], out[:, 1, 0, :]], axis=-1)  # (2N, 2N)
+    BbarT = None
+    if pre.matrix_free:
+        # O(N) refresh: Lanczos steps apply Bbar through the checkerboard —
+        # no densification anywhere (the reference's matrix-free update,
+        # KPMPreconditioner.jl:625-658)
+        if pre.symmetric:
+            lo_raw, hi_raw = lanczos_bounds(bbar.apply, N, key, pre.n_lanczos)
+        else:
+            apply_BtB = lambda v: bbar.apply_T(bbar.apply(v))
+            lo2, hi2 = lanczos_bounds(apply_BtB, N, key, pre.n_lanczos)
+            lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
+            hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
     else:
-        eyeN = jnp.eye(N)
-        BbarT = bbar.apply(eyeN)
-    dim = BbarT.shape[0]
-    if pre.symmetric:
-        # symmetric factorization: Bbar (and its embedding E) is symmetric
-        lo_raw, hi_raw = lanczos_bounds(lambda v: v @ BbarT, dim, key, pre.n_lanczos)
-    else:
-        apply_BtB = lambda v: (v @ BbarT) @ BbarT.T
-        lo2, hi2 = lanczos_bounds(apply_BtB, dim, key, pre.n_lanczos)
-        lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
-        hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
+        # densify Bbar^T once per refresh (f64). Row-form convention: row k of
+        # the stored matrix is Bbar e_k, so u @ BbarT applies Bbar to
+        # row-vectors u. For complex hoppings the doubled real embedding
+        # E = [[Br, -Bi], [Bi, Br]] is built from channel-paired basis vectors
+        # (cf. ops/spectral_precond.py).
+        if pre.complex_pair:
+            eyeN = jnp.eye(N)
+            zeroN = jnp.zeros_like(eyeN)
+            basis = jnp.concatenate(
+                [
+                    jnp.stack([eyeN, zeroN], axis=1),  # real unit site vectors
+                    jnp.stack([zeroN, eyeN], axis=1),  # imaginary unit site vectors
+                ]
+            )[:, :, None, :]  # (2N, 2, 1, N)
+            out = bbar.apply(basis)  # row k = Bbar e_k as a channel pair
+            BbarT = jnp.concatenate([out[:, 0, 0, :], out[:, 1, 0, :]], axis=-1)  # (2N, 2N)
+        else:
+            eyeN = jnp.eye(N)
+            BbarT = bbar.apply(eyeN)
+        dim = BbarT.shape[0]
+        if pre.symmetric:
+            # symmetric factorization: Bbar (and its embedding E) is symmetric
+            lo_raw, hi_raw = lanczos_bounds(lambda v: v @ BbarT, dim, key, pre.n_lanczos)
+        else:
+            apply_BtB = lambda v: (v @ BbarT) @ BbarT.T
+            lo2, hi2 = lanczos_bounds(apply_BtB, dim, key, pre.n_lanczos)
+            lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
+            hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
     lo = (1.0 - pre.rbuf) * lo_raw
     hi = (1.0 + pre.rbuf) * hi_raw
     active = (lo > 0.0) & (lo < 1.0) & (hi > 1.0) & (hi < 2.0)
@@ -322,11 +384,16 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
     # runtime per-frequency orders, clipped to the static caps
     width = hi_s - lo_s
     phi_eff = np.minimum(pre.phi, 2 * np.pi - pre.phi)
-    orders = jnp.maximum(
+    orders_raw = jnp.maximum(
         1,
         jnp.floor(width * (pre.a1 / jnp.asarray(phi_eff) + pre.a2)).astype(jnp.int32),
     )
-    orders = jnp.minimum(orders, jnp.asarray(pre.caps.astype(np.int32)))
+    caps_arr = jnp.asarray(pre.caps.astype(np.int32))
+    orders = jnp.minimum(orders_raw, caps_arr)
+    # diagnostic for silent quality loss: how many frequencies wanted a HIGHER
+    # order than the build-time static cap allows (live Lanczos bounds wider
+    # than the build-time cap_delta_eps estimate, or an explicit cap_max)
+    order_clip_count = jnp.sum((orders_raw > caps_arr).astype(jnp.int32))
     orders_sorted = orders[pre.perm]
     phi_sorted = jnp.asarray(pre.phi)[pre.perm]
 
@@ -361,20 +428,40 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
         coefs_re.append(jnp.where(mask, cre, 0.0).astype(dt))
         coefs_im.append(jnp.where(mask, cim, 0.0).astype(dt))
 
-    # scaled propagator + stride matrix for the blocked recurrence (dense
-    # BbarT computed above)
-    dt = jnp.dtype(pre.dtype)
-    BpT = ((BbarT - center * jnp.eye(dim)) / half_safe).astype(dt)
-    s = pre.block_size
-    # TsT = T_s(Bbar')^T by the dense Chebyshev matrix recurrence (s-1 matmuls,
-    # MXU-shaped, once per refresh)
-    if s == 1:
-        TsT = BpT
+    # Truncation-positivity guard (the missing half of the reference's
+    # self-deactivation, KPMPreconditioner.jl:573-594): for the SYMMETRIC
+    # factorization the applied polynomial must be positive on the whole
+    # spectrum interval or P^-1 is indefinite and CG diverges (measured:
+    # cap_max=32 at Ltau=240 diverges outright, _static_plan docstring).
+    # Evaluate every frequency's MASKED fit on a dense static grid and
+    # deactivate on any non-positive value. The asymmetric factorization is
+    # exempt: its two conjugate passes multiply each eigencomponent by
+    # |p(lambda)|^2 >= 0, so truncation can degrade but never flip the sign.
+    if pre.symmetric:
+        fit_min = jnp.inf
+        for (start, stop, C), cre_m in zip(pre.buckets, coefs_re):
+            eval_mat = jnp.asarray(_fit_eval_mat(C), dtype=cre_m.dtype)
+            fit_min = jnp.minimum(fit_min, jnp.min(cre_m @ eval_mat))
+        active = active & (fit_min > 0.0)
+
+    if pre.matrix_free:
+        BpT_out, TsT_out = pre.BpT, pre.TsT  # (1, 1) placeholders, never read
     else:
-        m_prev, m_cur = jnp.eye(dim, dtype=dt), BpT
-        for _ in range(s - 1):
-            m_prev, m_cur = m_cur, 2.0 * (BpT @ m_cur) - m_prev
-        TsT = m_cur
+        # scaled propagator + stride matrix for the blocked recurrence (dense
+        # BbarT computed above)
+        dt = jnp.dtype(pre.dtype)
+        BpT = ((BbarT - center * jnp.eye(dim)) / half_safe).astype(dt)
+        s = pre.block_size
+        # TsT = T_s(Bbar')^T by the dense Chebyshev matrix recurrence (s-1
+        # matmuls, MXU-shaped, once per refresh)
+        if s == 1:
+            TsT = BpT
+        else:
+            m_prev, m_cur = jnp.eye(dim, dtype=dt), BpT
+            for _ in range(s - 1):
+                m_prev, m_cur = m_cur, 2.0 * (BpT @ m_cur) - m_prev
+            TsT = m_cur
+        BpT_out, TsT_out = BpT, TsT
 
     return pre.replace(
         bbar=bbar,
@@ -383,8 +470,9 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
         active=active,
         coefs_re=tuple(coefs_re),
         coefs_im=tuple(coefs_im),
-        BpT=BpT,
-        TsT=TsT,
+        BpT=BpT_out,
+        TsT=TsT_out,
+        order_clip_count=order_clip_count,
     )
 
 
@@ -506,6 +594,54 @@ def _block_cheb_pair(pre: "KPMPreconditioner", w, cre, cim):
     return y
 
 
+def _mf_cheb(pre: "KPMPreconditioner", u_re, u_im, cre, cim, bbar32=None):
+    """Matrix-free y = sum_k c_k T_k(Bbar') u: the plain three-term recurrence
+    T_{k+1} = 2 Bbar' T_k - T_{k-1} with Bbar applied through the tau-averaged
+    CHECKERBOARD — O(n_colors N) per order per frequency plane, no dense
+    matrices anywhere (the reference's apply structure,
+    KPMPreconditioner.jl:288-352). Sequential depth is the full static order
+    cap C (coefficients are zero beyond each frequency's live order, so higher
+    frequencies simply stop contributing); on TPU the per-step work is a
+    handful of gather+elementwise kernels over the whole (2, ..., F, N) block,
+    which is what keeps this bandwidth-bound rather than latency-bound at
+    large N."""
+    dt = u_re.dtype
+    bbar = bbar32 if bbar32 is not None else pre.bbar
+    center = ((pre.hi + pre.lo) * 0.5).astype(dt)
+    inv_half = (1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)).astype(dt)
+
+    def applyBp(t):
+        return (bbar.apply(t) - center * t) * inv_half
+
+    C = cre.shape[1]
+    t0 = jnp.stack([u_re, u_im])  # channel-stacked recurrence state
+    c0 = cre[:, 0][:, None]
+    y = c0 * t0
+    if cim is not None:
+        ci0 = cim[:, 0][:, None]
+        y = y + ci0 * jnp.stack([-t0[1], t0[0]])  # + i c_im * t
+    if C == 1:
+        return y[0], y[1]
+    t1 = applyBp(t0)
+    # scanned coefficient columns k = 1 .. C-1 (im plane only when it exists:
+    # symmetric coefficients are real and skip the i-rotation entirely)
+    if cim is None:
+        cs = cre.T[1:, None]  # (C-1, 1, F)
+    else:
+        cs = jnp.stack([cre.T, cim.T], axis=1)[1:]  # (C-1, 2, F)
+
+    def step(carry, ck):
+        t_prev, t_cur, y = carry
+        y = y + ck[0][:, None] * t_cur
+        if cim is not None:
+            y = y + ck[1][:, None] * jnp.stack([-t_cur[1], t_cur[0]])
+        t_next = 2.0 * applyBp(t_cur) - t_prev
+        return (t_cur, t_next, y), None
+
+    (_, _, y), _ = lax.scan(step, (t0, t1, y), cs)
+    return y[0], y[1]
+
+
 def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """z = P^{-1} r for real r (..., Ltau, N); channels/batches broadcast.
 
@@ -514,7 +650,27 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     pre.dtype (f32 default); the caller's dtype is restored on return.
     """
     in_dtype = r.dtype
-    r = r.astype(pre.BpT.dtype)
+    dt = jnp.dtype(pre.dtype)
+    r = r.astype(dt)
+
+    if pre.matrix_free:
+        # cast the checkerboard/diagonal factors once per call (jit dedups);
+        # the whole recurrence then runs in pre.dtype like the dense path
+        bbar32 = jax.tree_util.tree_map(lambda a: a.astype(dt), pre.bbar)
+
+        def transform(r):
+            cre, cim = pre.coefs_re[0], pre.coefs_im[0]
+            ure, uim = pre.fft.forward(r)
+            if pre.symmetric:
+                yre, yim = _mf_cheb(pre, ure, uim, cre, None, bbar32)
+            else:
+                # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
+                yre, yim = _mf_cheb(pre, ure, uim, cre, -cim, bbar32)
+                yre, yim = _mf_cheb(pre, yre, yim, cre, cim, bbar32)
+            zre, _ = pre.fft.inverse(yre, yim)
+            return zre
+
+        return lax.cond(pre.active, transform, lambda r: r, r).astype(in_dtype)
 
     def transform(r):
         cre, cim = pre.coefs_re[0], pre.coefs_im[0]
