@@ -15,6 +15,9 @@ script measures, on the live device, for Holstein honeycomb at beta = 12
 
 and prints a Markdown table for BENCH.md plus the implied auto-select
 crossover. Run: python scripts/scaling_bench.py [--cpu] [--sizes 6,12]
+[--skip-none] [--skip-spectral] — the skip flags drop the unpreconditioned
+solve (minutes at N >= 2500) and the dense-eigh spectral path for the
+large-N matrix-free KPM study (L=36/48, N=2592/4608).
 """
 
 import sys
@@ -46,6 +49,7 @@ def main():
     for i, a in enumerate(sys.argv):
         if a == "--sizes":
             sizes = [int(s) for s in sys.argv[i + 1].split(",")]
+    skip = {lbl for lbl in ("none", "spectral") if f"--skip-{lbl}" in sys.argv}
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +73,9 @@ def main():
 
         results = {}
         for label in ("spectral", "kpm", "none"):
+            if label in skip:
+                results[label] = (float("nan"),) * 3
+                continue
             try:
                 if label == "spectral":
                     build = jax.jit(lambda f: build_spectral(f, dtype="float32"))
@@ -95,12 +102,17 @@ def main():
                 results[label] = (float("nan"),) * 3
 
         # production force-solve path: f32 solve_MtM (rides the fused Pallas
-        # whole-solve kernel where VMEM allows, XLA CG otherwise)
+        # whole-solve kernel where VMEM allows, XLA CG otherwise), with the
+        # AUTO-selected preconditioner (spectral <= 4000 sites, kpm above)
         try:
             from smoqyelphqmc_tpu.ops.fermion_det import solve_MtM
             from smoqyelphqmc_tpu.ops.pallas_fused import build_fused_pcg
+            from smoqyelphqmc_tpu.ops.preconditioner import AUTO_SPECTRAL_MAX_SITES
 
-            pre32 = jax.jit(lambda f: build_spectral(f, dtype="float32"))(fdm)
+            if N <= AUTO_SPECTRAL_MAX_SITES and "spectral" not in skip:
+                pre32 = jax.jit(lambda f: build_spectral(f, dtype="float32"))(fdm)
+            else:
+                pre32 = KPMPreconditioner.build(fdm.astype(jnp.float32), jax.random.PRNGKey(0))
             fused = build_fused_pcg(fdm.astype(jnp.float32), pre32) is not None
             s32 = jax.jit(
                 lambda f, p, b: solve_MtM(f, b, precond=p, tol=1e-5, maxiter=2000)

@@ -85,6 +85,17 @@ class SimulationConfig:
     # Set 'float64' to recover full-precision measurement solves (BENCH.md A/B)
     measure_solve_dtype: Optional[str] = None
     n_walkers: int = 1  # > 1: vmapped walker axis, one bin stream per walker (pID)
+    # Multi-walker preconditioner refresh policy. True = ONE refresh per sweep
+    # from the walker-mean propagator (parallel/walkers.shared_precond_refresh;
+    # a vmapped eigh batches poorly). Iteration-neutral when walker propagators
+    # agree; guarded by an automatic fallback: if a sweep's mean trajectory-CG
+    # iteration count exceeds precond_fallback_ratio x the best sweep seen so
+    # far (strong coupling / early thermalization, where walkers genuinely
+    # differ), subsequent sweeps refresh PER WALKER, re-probing shared mode
+    # every precond_retry_every sweeps. False = always refresh per walker.
+    shared_precond: bool = True
+    precond_fallback_ratio: float = 1.5
+    precond_retry_every: int = 32
 
 
 def _msolve_dtype(cfg: SimulationConfig) -> Optional[str]:
@@ -513,17 +524,23 @@ def _run_multiwalker(
 
     dt0 = float(hmc_params.timestep())
 
-    @jax.jit
-    def sweep(s, mus, acc_vec, dt_):
-        # ONE preconditioner refresh per sweep from the walker-mean propagator
-        # (vmapped eigh batches poorly; iteration counts are unchanged — see
-        # parallel/walkers.py:shared_precond_refresh)
-        s = shared_precond_refresh(with_mu(ctx, jnp.mean(mus)), s)
+    def _sweep_body(s, mus, acc_vec, dt_, shared: bool):
+        if shared:
+            # ONE preconditioner refresh per sweep from the walker-mean
+            # propagator (vmapped eigh batches poorly; iteration counts are
+            # unchanged when walker propagators agree — see
+            # parallel/walkers.py:shared_precond_refresh)
+            s = shared_precond_refresh(with_mu(ctx, jnp.mean(mus)), s)
+            refresh_in_hmc = s.precond is None
+        else:
+            # per-walker refresh inside hmc_update (fallback for strong
+            # coupling / early thermalization, where walkers genuinely differ)
+            refresh_in_hmc = True
         # fused solve+force epilogue only in vmapped multi-walker programs
         # (>= 2 walkers) — the unvmapped lowering corrupts the force planes
         # on this toolchain (ops/pff.py gate comment)
         hmc_p = hmc_params.replace(
-            refresh_precond_at_start=s.precond is None, dt=dt_,
+            refresh_precond_at_start=refresh_in_hmc, dt=dt_,
             fused_step_force=W >= 2,
         )
 
@@ -552,8 +569,42 @@ def _run_multiwalker(
             # ONE shared dt, driven by the walker-mean acceptance
             step = 0.08 * (jnp.mean(vecs[:, 3]) - cfg.target_acceptance)
             dt_ = jnp.clip(dt_ * jnp.exp(step), dt0 / 8.0, 8.0 * dt0)
-        # walker-averaged per-sweep stats, accumulated inside the jit
-        return s, acc_vec + jnp.mean(vecs, axis=0), dt_
+        m = jnp.mean(vecs, axis=0)
+        # walker-averaged per-sweep stats accumulated inside the jit; m[6] is
+        # this sweep's mean trajectory-CG iteration count (fallback controller)
+        return s, acc_vec + m, dt_, m[6]
+
+    sweep_shared = jax.jit(lambda s, mus, a, d: _sweep_body(s, mus, a, d, True))
+    sweep_perwalker = jax.jit(lambda s, mus, a, d: _sweep_body(s, mus, a, d, False))
+
+    # preconditioner-refresh fallback controller (host side; see
+    # parallel/walkers.PrecondFallbackController). shared_precond=False pins
+    # per-walker refresh by disabling the controller with mode preset.
+    from .parallel.walkers import PrecondFallbackController
+
+    pc = PrecondFallbackController(
+        ratio=cfg.precond_fallback_ratio,
+        retry_every=cfg.precond_retry_every,
+        enabled=cfg.shared_precond and states.precond is not None,
+    )
+    if not cfg.shared_precond:
+        pc.mode = "perwalker"
+    metadata_fallback = {"n": 0}  # mirrors pc.fallback_sweeps across resume
+
+    def run_sweep(s, mus, acc_vec, dt_):
+        if not pc.enabled:
+            fn = sweep_shared if pc.mode == "shared" else sweep_perwalker
+            if pc.mode == "perwalker":
+                metadata_fallback["n"] += 1
+            s, acc_vec, dt_, _ = fn(s, mus, acc_vec, dt_)
+            return s, acc_vec, dt_
+        use_shared = pc.choose()
+        fn = sweep_shared if use_shared else sweep_perwalker
+        before = pc.fallback_sweeps
+        s, acc_vec, dt_, it_dev = fn(s, mus, acc_vec, dt_)
+        pc.record(it_dev, use_shared)
+        metadata_fallback["n"] += pc.fallback_sweeps - before
+        return s, acc_vec, dt_
 
     def _refresh_est(s1, key, mu):
         c = with_mu(ctx, mu)
@@ -625,6 +676,7 @@ def _run_multiwalker(
         for k, v in zip(_STAT_KEYS, vals):
             metadata[k] += float(v)
         metadata["measurement_iters"] += float(np.asarray(meas_iters_acc))
+        metadata["precond_fallback_sweeps"] = metadata_fallback["n"]
         sweep_acc = jnp.zeros(len(_STAT_KEYS))
         meas_iters_acc = jnp.zeros((), jnp.float64)
 
@@ -646,6 +698,7 @@ def _run_multiwalker(
             therm_done = int(s["therm_done"])
             meas_done = int(s["meas_done"])
             metadata.update(s["metadata"])
+            metadata_fallback["n"] = int(metadata.get("precond_fallback_sweeps", 0))
             key = jnp.asarray(s["key_host"])
             mu_walkers = to_global(s["mu_walkers"])
             if s.get("hmc_dt") is not None:
@@ -704,7 +757,7 @@ def _run_multiwalker(
     # thermalize
     # ------------------------------------------------------------------
     while therm_done < cfg.N_therm:
-        states, sweep_acc, dt_cur = sweep(states, mu_walkers, sweep_acc, dt_cur)
+        states, sweep_acc, dt_cur = run_sweep(states, mu_walkers, sweep_acc, dt_cur)
         if tuners is not None:
             n_w, N2_w, key = tune(states, key, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
@@ -723,7 +776,7 @@ def _run_multiwalker(
     # ------------------------------------------------------------------
     while meas_done < cfg.N_measurements:
         # dt frozen after thermalization (the tuned value is NOT fed back)
-        states, sweep_acc, _ = sweep(states, mu_walkers, sweep_acc, dt_cur)
+        states, sweep_acc, _ = run_sweep(states, mu_walkers, sweep_acc, dt_cur)
         out, meas_iters_acc, n_w, N2_w, key = measure(states, key, mu_walkers, meas_iters_acc)
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
@@ -762,6 +815,9 @@ def _run_multiwalker(
     metadata["reflection_iters"] /= max(n_updates, 1)
     metadata["swap_iters"] /= max(n_updates, 1)
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
+    # sweeps the fallback controller ran with per-walker refresh (0 = the
+    # shared walker-mean refresh stayed iteration-neutral throughout)
+    metadata["precond_fallback_sweeps"] = metadata_fallback["n"]
     if cfg.target_acceptance is not None:
         metadata["hmc_dt_final"] = float(np.asarray(dt_cur))
     if tuners is not None:

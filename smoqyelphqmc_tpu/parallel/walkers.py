@@ -86,6 +86,71 @@ def shared_precond_refresh(ctx: QMCContext, states: QMCState) -> QMCState:
     return QMCState(x=states.x, key=states.key, precond=pre_w)
 
 
+class PrecondFallbackController:
+    """Host-side guard for the shared walker-mean preconditioner refresh.
+
+    The shared refresh (shared_precond_refresh) is iteration-neutral when
+    walker propagators agree — validated at weak coupling — but at strong
+    coupling or during early thermalization walkers genuinely differ and a
+    walker-mean Bbar can degrade every walker's CG. This controller tracks the
+    running minimum of per-sweep mean trajectory-CG iteration counts; a
+    shared-mode sweep exceeding `ratio` x that floor demotes to per-walker
+    refresh, and a probe sweep every `retry_every` sweeps promotes back once
+    shared mode is iteration-neutral again.
+
+    Iteration counts are recorded as DEVICE scalars and resolved one sweep
+    late (`resolve()` at the start of the next `choose()`), so the controller
+    never stalls the dispatch pipeline waiting on the device.
+    """
+
+    def __init__(self, ratio: float = 1.5, retry_every: int = 32, enabled: bool = True):
+        self.ratio = float(ratio)
+        self.retry_every = max(int(retry_every), 1)
+        self.enabled = bool(enabled) and np.isfinite(ratio)
+        self.mode = "shared"
+        self.floor = np.inf
+        self.pw_count = 0  # sweeps since entering per-walker mode
+        self.fallback_sweeps = 0  # total sweeps run with per-walker refresh
+        self._pending = None  # (iters scalar — device array or float, was_shared)
+
+    def _resolve(self):
+        if self._pending is None:
+            return
+        it_dev, was_shared = self._pending
+        self._pending = None
+        it = float(np.asarray(it_dev))
+        if not np.isfinite(it) or it <= 0.0:
+            return
+        self.floor = min(self.floor, it)
+        healthy = it <= self.ratio * self.floor
+        if was_shared:
+            self.mode = "shared" if healthy else "perwalker"
+
+    def choose(self) -> bool:
+        """True = refresh shared this sweep (includes periodic probe sweeps)."""
+        if not self.enabled:
+            return True
+        self._resolve()
+        probing = (
+            self.mode == "perwalker"
+            and self.pw_count % self.retry_every == self.retry_every - 1
+        )
+        return self.mode == "shared" or probing
+
+    def record(self, iters_dev, used_shared: bool):
+        """Feed back this sweep's mean trajectory-CG iteration count (a device
+        scalar is fine — it is not read until the next choose())."""
+        if not self.enabled:
+            return
+        self._pending = (iters_dev, used_shared)
+        if not used_shared:
+            self.fallback_sweeps += 1
+        if self.mode == "perwalker":
+            self.pw_count += 1
+        else:
+            self.pw_count = 0
+
+
 def walker_sweep(
     ctx: QMCContext, states: QMCState, hmc_params: HMCParams, recenter=None,
     shared_precond: bool = True,
