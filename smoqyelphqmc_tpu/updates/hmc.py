@@ -78,8 +78,14 @@ def hmc_update(
     state: QMCState,
     params: HMCParams,
     recenter: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    phi_scale: Optional[jnp.ndarray] = None,
 ) -> tuple[QMCState, HMCStats]:
-    """One EFA-PFF-HMC trajectory (hmc_update!, EFAPFFHMCUpdater.jl:102-279)."""
+    """One EFA-PFF-HMC trajectory (hmc_update!, EFAPFFHMCUpdater.jl:102-279).
+
+    phi_scale is the ghost-walker hook (hmc_update_ghost): a traced scalar
+    multiplying the freshly-sampled pseudofermion field. 1.0 is an exact
+    no-op; 0.0 makes every trajectory solve see a zero rhs (instant CG
+    convergence) while keeping the vmapped program shape identical."""
     elph, efa = ctx.elph, ctx.efa
     # trace-time flag: a non-identity recenter acts in tau space, forcing a
     # re-transform of x after each drift (see omega-space trajectory below)
@@ -100,6 +106,9 @@ def hmc_update(
         precond = refresh_preconditioner(precond, fdm0, k_pre0)
 
     Phi, Sf0 = sample_pseudofermion_fields(k_phi, elph, fdm0, x0)
+    if phi_scale is not None:
+        Phi = Phi * phi_scale
+        Sf0 = Sf0 * phi_scale
     Sb0 = bosonic_action(elph, x0)
     # the trajectory carries (x, p) in omega space: the exact drift is then an
     # elementwise rotation, and each leapfrog step pays only one inverse DFT
@@ -247,3 +256,48 @@ def hmc_update(
         converged=ok,
     )
     return QMCState(x=x_new, key=key, precond=precond), stats
+
+
+def hmc_update_ghost(
+    ctx: QMCContext,
+    state: QMCState,
+    params: HMCParams,
+    recenter: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> tuple[QMCState, HMCStats]:
+    """Single-chain HMC routed THROUGH the fused solve+force epilogue by
+    vmapping a 2-walker program whose second walker is a zero-Phi ghost.
+
+    The fused epilogue kernel (ops/pallas_fused.py:_pcg_force_kernel) is
+    verified correct only in vmapped multi-walker (>= 2) programs — the
+    unvmapped lowering deterministically corrupts the force planes on this
+    toolchain (ops/pff.py gate comment; scripts/device_sanity.py). This
+    wrapper buys the single-chain path the proven vmap(2) lowering at near-
+    zero marginal cost: the ghost is a copy of the real walker whose
+    pseudofermion field is scaled to exactly zero, so each of its in-kernel
+    CG chunks sees |b| = 0 and exits the Krylov loop after ZERO iterations
+    (every Pallas grid chunk iterates to its own convergence) — the ghost
+    pays only the vmapped elementwise glue, which at this batch size is
+    latency- not throughput-bound.
+
+    The real walker's chain is exact: its Phi is scaled by 1.0 (a float
+    no-op) and its program is identical to the verified W >= 2 walker path.
+    The ghost's outputs (second vmap row) are discarded."""
+    if state.precond is not None and params.refresh_precond_at_start:
+        # refresh ONCE, unvmapped (a vmapped eigh serializes poorly on TPU —
+        # parallel/walkers.shared_precond_refresh) and share it with the ghost
+        pre = refresh_preconditioner(
+            state.precond, make_fdm(ctx, state.x), jax.random.fold_in(state.key, 17)
+        )
+        state = QMCState(x=state.x, key=state.key, precond=pre)
+        params = params.replace(refresh_precond_at_start=False)
+    params = params.replace(fused_step_force=True)
+    pair = jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), state)
+    scale = jnp.asarray([1.0, 0.0])
+    new_pair, stats = jax.vmap(
+        lambda s, sc: hmc_update(ctx, s, params, recenter=recenter, phi_scale=sc)
+    )(pair, scale)
+    first = lambda a: a[0]
+    return (
+        jax.tree_util.tree_map(first, new_pair),
+        jax.tree_util.tree_map(first, stats),
+    )

@@ -298,3 +298,46 @@ def test_fused_pcg_ssh_matches_cg(rng):
     xs, s = fused(b, tol=1e-5, maxiter=400)
     assert bool(s.converged)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(x_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_step_ghost_walker_rows(rng, monkeypatch):
+    """The ghost-walker trick (updates/hmc.py:hmc_update_ghost): vmapping the
+    fused solve+force over [real, zero-Phi ghost] must (a) reproduce the XLA
+    force on the REAL row, and (b) solve the ghost row in ZERO iterations
+    (|b| = 0 exits the in-kernel Krylov loop immediately) with finite
+    outputs — the property that makes the ghost near-free."""
+    from smoqyelphqmc_tpu.models.fermion_path_integral import build_path_integral
+    from smoqyelphqmc_tpu.ops.pff import fermionic_action_and_force, sample_pseudofermion_fields
+    from smoqyelphqmc_tpu.ops.derivatives import build_force_plan
+    from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
+
+    geo, tbm, tbp, elph_model, elph = chain_model(L=6, beta=0.8, alpha=0.4)
+    structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
+    plan = build_force_plan(elph, structure)
+    x = jnp.asarray(0.3 * rng.standard_normal(elph.x.shape))
+    fpi = build_path_integral(tbp, elph, x=x)
+    fdm = FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    pre = build_spectral(fdm)
+    Phi, _ = sample_pseudofermion_fields(jax.random.PRNGKey(7), elph, fdm, x)
+
+    def run(phi):
+        return fermionic_action_and_force(
+            Phi * phi, elph, fdm, x, plan, precond=pre, tol=1e-5, maxiter=400,
+            solve_dtype="float32",
+        )
+
+    monkeypatch.setenv("SMOQY_FUSED_CG", "0")
+    ref = run(jnp.asarray(1.0))
+    monkeypatch.setenv("SMOQY_FUSED_CG", "interpret")
+    monkeypatch.setenv("SMOQY_FUSED_STEP", "1")
+    got = jax.vmap(run)(jnp.asarray([1.0, 0.0]))
+    scale = float(np.max(np.abs(np.asarray(ref.force)))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(got.force[0]), np.asarray(ref.force), rtol=2e-4, atol=2e-4 * scale
+    )
+    np.testing.assert_allclose(float(got.Sf[0]), float(ref.Sf), rtol=2e-5)
+    # ghost row: zero rhs -> zero iterations, all outputs exactly zero
+    assert int(got.stats.iters[1]) == 0
+    np.testing.assert_array_equal(np.asarray(got.force[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(got.psi_raw[1]), 0.0)
+    assert bool(got.stats.converged[1])
