@@ -658,11 +658,47 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
         # the whole recurrence then runs in pre.dtype like the dense path
         bbar32 = jax.tree_util.tree_map(lambda a: a.astype(dt), pre.bbar)
 
+        # fused VMEM-resident recurrence (ops/pallas_fused.py:_kpm_mf_kernel)
+        # for the symmetric real-hopping path: the XLA scan's C sequential
+        # host-scheduled steps are dispatch-latency-bound (~24 ms/apply at
+        # N = 1152, scripts/scaling_bench.py); in-kernel while loops over
+        # order-sorted frequency blocks cut the apply to ~the checkerboard
+        # FLOPs. Trace-time static gate; SMOQY_FUSED_KPM=0/interpret overrides.
+        fused_plan = None
+        if pre.symmetric and not pre.complex_pair:
+            from .pallas_fused import build_kpm_mf_plan, fused_kpm_mode
+
+            mode = fused_kpm_mode()
+            if mode is not None:
+                fused_plan = build_kpm_mf_plan(
+                    pre.caps, pre.bbar.cb.partner, pre.Ltau, pre.n_sites,
+                    pre.coefs_re[0].shape[1], interpret=(mode == "interpret"),
+                )
+
         def transform(r):
             cre, cim = pre.coefs_re[0], pre.coefs_im[0]
             ure, uim = pre.fft.forward(r)
             if pre.symmetric:
-                yre, yim = _mf_cheb(pre, ure, uim, cre, None, bbar32)
+                if fused_plan is not None:
+                    from .pallas_fused import kpm_mf_apply
+
+                    # live per-frequency orders (same formula as kpm_update —
+                    # coefficients beyond them are exactly zero)
+                    phi_eff = jnp.asarray(np.minimum(pre.phi, 2 * np.pi - pre.phi))
+                    width = (pre.hi - pre.lo).astype(jnp.float64)
+                    orders_raw = jnp.maximum(
+                        1,
+                        jnp.floor(width * (pre.a1 / phi_eff + pre.a2)).astype(jnp.int32),
+                    )
+                    orders = jnp.minimum(orders_raw, jnp.asarray(pre.caps.astype(np.int32)))
+                    center = ((pre.hi + pre.lo) * 0.5).astype(dt)
+                    inv_half = (1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)).astype(dt)
+                    yre, yim = kpm_mf_apply(
+                        fused_plan, bbar32.cb.C, bbar32.cb.S, bbar32.expV,
+                        center, inv_half, ure, uim, cre, orders,
+                    )
+                else:
+                    yre, yim = _mf_cheb(pre, ure, uim, cre, None, bbar32)
             else:
                 # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
                 yre, yim = _mf_cheb(pre, ure, uim, cre, -cim, bbar32)

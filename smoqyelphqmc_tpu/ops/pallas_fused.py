@@ -1108,3 +1108,213 @@ def build_fused_pcg(fdm, pre, interpret: Optional[bool] = None, max_chunk: int =
     )
     return FusedPCG(arrays, shifts, interpret, max_chunk, mtm=fdm.mul_MtM,
                     symmetric=fdm.symmetric, can_force=can_force)
+
+
+# ======================================================================
+# Fused matrix-free KPM apply: per-frequency Chebyshev recurrence in VMEM
+# ======================================================================
+#
+# The XLA matrix-free recurrence (ops/kpm.py:_mf_cheb) is O(n_colors N) per
+# order but runs C sequential HOST-SCHEDULED steps of a lax.scan, each a
+# handful of small gather/elementwise fusions — at N = 1152 that measured
+# ~24 ms per apply (1.2 s per 50-iteration CG solve, scripts/scaling_bench.py),
+# pure dispatch-latency, not FLOPs. This kernel moves the whole recurrence
+# into VMEM (the reference's apply structure, KPMPreconditioner.jl:288-352):
+#
+#   - the frequency axis is SORTED by descending Chebyshev order and split
+#     into grid blocks; each grid step runs its own in-kernel while loop up
+#     to the block's live order (a traced per-block bound), so the total
+#     sequential depth is sum_blocks max-order-in-block (~Ltau/blkF *
+#     harmonic tail) instead of n_blocks * C_max — most frequencies need
+#     single-digit orders and exit after a few microsecond-scale iterations;
+#   - Bbar' applies through the same lane-roll-class checkerboard sweep as
+#     the fused M^T M matvec, with single (N,) coefficient rows (the
+#     tau-AVERAGED factors have no time axis);
+#   - per-step coefficients come from an in-VMEM (blkF, C_pad) table via an
+#     iota-mask contraction (no dynamic lane indexing).
+#
+# SYMMETRIC factorization + real hoppings only (the production large-N
+# path); the asymmetric two-pass complex recurrence stays on the XLA path.
+
+
+def _kpm_mf_kernel(u_ref, Crow_ref, Skrow_ref, expVih_ref, cih_ref,
+                   coef_ref, bound_ref, out_ref, *, shifts):
+    """y = sum_k c_k(f) T_k(Bbar') u for one (row-chunk, frequency-block):
+    u_ref (cR, blkF, N); Crow/Skrow single-slice checkerboard rows;
+    expVih = expV_bar / half, cih = center / half (the Bbar -> Bbar' affine
+    map folded into the diagonal factors); coef_ref (blkF, C_pad) Chebyshev
+    coefficient planes (zero beyond each frequency's live order); bound_ref
+    (n_fb, 1) per-block max live orders, indexed by the frequency grid axis
+    (tiny, shipped whole to every grid step: (1,1) blocks fail the TPU
+    (8,128)-divisibility lowering rule)."""
+    u = u_ref[:]  # (cR, blkF, N)
+    N = u.shape[-1]
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+
+    def cb(t, transpose):
+        order = reversed(range(n_colors)) if transpose else range(n_colors)
+        for c in order:
+            acc = Crow_ref[c] * t
+            for k, s in enumerate(shifts[c]):
+                tp = pltpu.roll(t, jnp.int32((N - s) % N), 2) if s else t
+                acc = acc + Skrow_ref[int(offsets[c]) + k] * tp
+            t = acc
+        return t
+
+    def applyBp(t):
+        w = cb(t, transpose=True)
+        w = expVih_ref[:] * w
+        w = cb(w, transpose=False)
+        return w - cih_ref[:] * t
+
+    coefs = coef_ref[:]  # (blkF, C_pad)
+    C_pad = coefs.shape[-1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, C_pad), 1)
+
+    def coef_at(it):
+        m = (kcol == it).astype(jnp.float32)
+        return jnp.sum(coefs * m, axis=-1, keepdims=True)  # (blkF, 1)
+
+    bound = bound_ref[pl.program_id(1), 0].astype(jnp.int32)
+    y = coef_at(jnp.int32(0)) * u
+    t1 = applyBp(u)
+
+    def cond(carry):
+        _, _, _, it = carry
+        return it < bound
+
+    def body(carry):
+        t_prev, t_cur, y, it = carry
+        y = y + coef_at(it) * t_cur
+        t_next = 2.0 * applyBp(t_cur) - t_prev
+        return (t_cur, t_next, y, it + np.int32(1))
+
+    _, _, y, _ = jax.lax.while_loop(cond, body, (u, t1, y, jnp.int32(1)))
+    out_ref[:] = y
+
+
+def _kpm_mf_call(u, Crow, Skrow, expVih, cih, coefs, bounds,
+                 shifts, blkF: int, cR: int, interpret: bool):
+    R, F, N = u.shape
+    kernel = functools.partial(_kpm_mf_kernel, shifts=shifts)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, F, N), jnp.float32),
+        grid=(R // cR, F // blkF),
+        in_specs=[
+            pl.BlockSpec((cR, blkF, N), lambda r, b: (r, b, _Z)),
+            pl.BlockSpec(Crow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec(Skrow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((blkF, coefs.shape[-1]), lambda r, b: (b, _Z)),
+            pl.BlockSpec(bounds.shape, lambda r, b: (_Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((cR, blkF, N), lambda r, b: (r, b, _Z)),
+        interpret=interpret,
+    )(u, Crow, Skrow, expVih, cih, coefs, bounds)
+
+
+class KPMMFPlan:
+    """Static plan for the fused matrix-free KPM apply (one per
+    KPMPreconditioner structure): frequency sort permutation, block sizes,
+    roll-class decomposition."""
+
+    def __init__(self, perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret):
+        self.perm_sort = perm_sort
+        self.inv_perm_sort = inv_perm_sort
+        self.shifts = shifts
+        self.masks = masks
+        self.blkF = blkF
+        self.cR = cR
+        self.interpret = interpret
+
+
+def fused_kpm_mode() -> Optional[str]:
+    """Trace-time gate: 'compiled' on TPU, 'interpret' when
+    SMOQY_FUSED_KPM=interpret (CPU testing), None when disabled
+    (SMOQY_FUSED_KPM=0 or non-TPU backend). SMOQY_FUSED_CG=0 also disables
+    (one switch kills every fused kernel)."""
+    import os
+
+    if os.environ.get("SMOQY_FUSED_CG") == "0":
+        return None
+    mode = os.environ.get("SMOQY_FUSED_KPM", "auto")
+    if mode == "0":
+        return None
+    if mode == "interpret":
+        return "interpret"
+    return "compiled" if jax.default_backend() == "tpu" else None
+
+
+def build_kpm_mf_plan(caps: np.ndarray, partner: np.ndarray, Ltau: int, N: int,
+                      C_pad: int, interpret: bool) -> Optional[KPMMFPlan]:
+    """Static plan, or None when the lattice has no small roll-class
+    decomposition or the working set cannot fit VMEM at any block size."""
+    if not _HAS_PALLAS:
+        return None
+    cls = shift_classes(partner)
+    if cls is None:
+        return None
+    shifts, masks = cls
+    n_cls_total = sum(len(s) for s in shifts)
+    perm_sort = np.argsort(-caps, kind="stable").astype(np.int32)
+    inv_perm_sort = np.argsort(perm_sort).astype(np.int32)
+    cR = 2
+    # live planes per grid step: u + out (double-buffered: 4) + while-carry
+    # t_prev/t_cur/y (3) + applyBp temp (1); tables are (N,) rows
+    blkF = 32
+    while blkF > 1 and (
+        Ltau % blkF != 0
+        or not _fits_vmem(blkF, N, 0, 0, 8, cR,
+                          (len(shifts) + n_cls_total + 2) * N + blkF * C_pad)
+    ):
+        blkF //= 2
+    if Ltau % blkF != 0 or not _fits_vmem(
+        blkF, N, 0, 0, 8, cR,
+        (len(shifts) + n_cls_total + 2) * N + blkF * C_pad,
+    ):
+        return None
+    return KPMMFPlan(perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret)
+
+
+def kpm_mf_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, expV, center, inv_half,
+                 u_re, u_im, cre, orders):
+    """Fused y = sum_k c_k T_k(Bbar') u over stacked (re, im) channel rows.
+
+    All array operands are TRACED (closure-captured device arrays would be
+    re-shipped per dispatch, see build_fused_pcg). u_re/u_im are
+    (..., F, N); cre (F, C_pad) real coefficient planes; orders (F,) i32
+    live per-frequency orders (bounds the in-kernel while loops)."""
+    f32 = jnp.float32
+    lead = u_re.shape[:-2]
+    F, N = u_re.shape[-2], u_re.shape[-1]
+    u = jnp.stack([u_re, u_im]).reshape((-1, F, N)).astype(f32)
+    R = u.shape[0]
+    if R % plan.cR != 0:  # odd row counts: pad one zero row
+        u = jnp.concatenate([u, jnp.zeros((1, F, N), f32)])
+    perm = jnp.asarray(plan.perm_sort)
+    u_s = jnp.take(u, perm, axis=-2)
+    cre_s = jnp.take(cre.astype(f32), perm, axis=0)
+    n_fb = F // plan.blkF
+    bounds = (
+        jnp.take(orders, perm)
+        .reshape(n_fb, plan.blkF)
+        .max(axis=1)
+        .astype(f32)[:, None]
+    )
+    Crow = bbar_cb_C.astype(f32)
+    Skrow = jnp.concatenate(
+        [bbar_cb_S[c].astype(f32) * jnp.asarray(plan.masks[c])
+         for c in range(len(plan.shifts))]
+    )
+    expVih = (expV.astype(f32) * inv_half.astype(f32))[None, :]
+    cih = jnp.broadcast_to((center * inv_half).astype(f32), (1, N))
+    y_s = _kpm_mf_call(
+        u_s, Crow, Skrow, expVih, cih, cre_s, bounds,
+        shifts=plan.shifts, blkF=plan.blkF, cR=plan.cR, interpret=plan.interpret,
+    )
+    y = jnp.take(y_s, jnp.asarray(plan.inv_perm_sort), axis=-2)[:R]
+    y = y.reshape((2,) + lead + (F, N))
+    return y[0], y[1]

@@ -102,3 +102,78 @@ def test_order_clip_diagnostic():
     # tight build-time estimate: live Lanczos width exceeds it => clipping
     tight = KPMPreconditioner.build(fdm, key, cap_delta_eps=0.3)
     assert int(tight.order_clip_count) > 0
+
+
+# ----------------------------------------------------------------------
+# Fused VMEM-resident matrix-free apply (ops/pallas_fused.py:_kpm_mf_kernel)
+# ----------------------------------------------------------------------
+
+
+def _with_fused_kpm(mode, fn):
+    import os
+
+    old = os.environ.get("SMOQY_FUSED_KPM")
+    os.environ["SMOQY_FUSED_KPM"] = mode
+    try:
+        return fn()
+    finally:
+        if old is None:
+            del os.environ["SMOQY_FUSED_KPM"]
+        else:
+            os.environ["SMOQY_FUSED_KPM"] = old
+
+
+def test_fused_mf_apply_matches_xla(rng):
+    """Interpret-mode fused kernel vs the XLA scan recurrence: same transform
+    (sorted-frequency blocks, per-block live-order while loops) to f32
+    roundoff."""
+    fdm = _fdm(honeycomb_model, symmetric=True, L=2, beta=2.0, alpha=0.4)
+    key = jax.random.PRNGKey(5)
+    mf = KPMPreconditioner.build(fdm, key, matrix_free=True)
+    assert bool(mf.active)
+    r = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)))
+    z_xla = _with_fused_kpm("0", lambda: np.asarray(kpm_apply(mf, r)))
+    z_fused = _with_fused_kpm("interpret", lambda: np.asarray(kpm_apply(mf, r)))
+    np.testing.assert_allclose(z_fused, z_xla, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mf_apply_vmapped(rng):
+    """Per-walker (vmapped) preconditioners must batch through the Pallas
+    call: states.precond carries a leading walker axis in the fallback
+    refresh mode (parallel/walkers.py)."""
+    fdm = _fdm(honeycomb_model, symmetric=True, L=2, beta=2.0, alpha=0.4)
+    keys = jax.random.split(jax.random.PRNGKey(6), 2)
+    pre1 = KPMPreconditioner.build(fdm, keys[0], matrix_free=True)
+    pre_w = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (2,) + a.shape)
+        if isinstance(a, jnp.ndarray)
+        else a,
+        pre1,
+    )
+    r = jnp.asarray(rng.standard_normal((2, 2, fdm.Ltau, fdm.n_sites)))
+    z_ref = _with_fused_kpm(
+        "0", lambda: np.asarray(jax.vmap(kpm_apply)(pre_w, r))
+    )
+    z_fused = _with_fused_kpm(
+        "interpret", lambda: np.asarray(jax.vmap(kpm_apply)(pre_w, r))
+    )
+    np.testing.assert_allclose(z_fused, z_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mf_cg_parity(rng):
+    """End-to-end: CG with the fused-apply operator converges with the same
+    iteration count as the XLA matrix-free operator."""
+    fdm = _fdm(honeycomb_model, symmetric=True, L=2, beta=2.0, alpha=0.4)
+    key = jax.random.PRNGKey(7)
+    mf = KPMPreconditioner.build(fdm, key, matrix_free=True)
+    b = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)))
+
+    def solve():
+        x, st = cg_solve(fdm.mul_MtM, b, precond=mf.as_operator(), tol=1e-10, maxiter=2000)
+        return np.asarray(x), int(st.iters), bool(st.converged)
+
+    x0, it0, ok0 = _with_fused_kpm("0", solve)
+    x1, it1, ok1 = _with_fused_kpm("interpret", solve)
+    assert ok0 and ok1
+    np.testing.assert_allclose(x1, x0, rtol=1e-5, atol=1e-7)
+    assert abs(it1 - it0) <= 2, (it1, it0)
