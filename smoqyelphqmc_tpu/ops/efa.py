@@ -42,6 +42,12 @@ class FourierAccelerator:
     m: jnp.ndarray  # (n_phonon, Ltau) fictitious mass (0 for frozen modes)
     fwd: AxisDFT
     inv: AxisDFT
+    # f32 copies of the DFT pair for the per-leapfrog-step force path: f64
+    # matmuls are software-emulated on TPU (~10x), and the force is only
+    # tol~1e-5 accurate anyway — the exact f64 (x, p) omega-space carry and
+    # the endpoint actions are untouched (updates/hmc.py)
+    fwd32: AxisDFT
+    inv32: AxisDFT
     Ltau: int = static_field()
 
     @staticmethod
@@ -56,7 +62,10 @@ class FourierAccelerator:
             4.0 / elph.dtau * sin2[None, :] + elph.dtau * (elph.Omega[:, None] ** 2 + eta**2)
         )
         return FourierAccelerator(
-            Q=Q, m=m, fwd=AxisDFT.build(Ltau), inv=AxisDFT.build(Ltau, inverse=True), Ltau=Ltau
+            Q=Q, m=m, fwd=AxisDFT.build(Ltau), inv=AxisDFT.build(Ltau, inverse=True),
+            fwd32=AxisDFT.build(Ltau, dtype="float32"),
+            inv32=AxisDFT.build(Ltau, inverse=True, dtype="float32"),
+            Ltau=Ltau,
         )
 
     # ------------------------------------------------------------------
@@ -97,6 +106,15 @@ class FourierAccelerator:
         of every operation performed in omega space."""
         return self.inv.apply(vr, vi, axis=1)[0]
 
+    def to_tau_f32(self, vr: jnp.ndarray, vi: jnp.ndarray) -> jnp.ndarray:
+        """omega -> tau through the f32 DFT pair — for the per-step force path
+        only (the force solve runs at tol ~1e-5 in f32; a ~1e-7 relative error
+        in its input field is invisible there, while the emulated-f64 matmul it
+        replaces dominates the per-leapfrog-step cost on TPU)."""
+        return self.inv32.apply(
+            vr.astype(jnp.float32), vi.astype(jnp.float32), axis=1
+        )[0]
+
     def rotate_omega(self, xw, pw, t):
         """Exact harmonic rotation of omega-space (x, p) by time t — elementwise."""
         xr, xi = xw
@@ -122,6 +140,48 @@ class FourierAccelerator:
         this is exactly the tau-space kick transformed)."""
         fr, fi = self.fwd.apply(force, None, axis=1)
         return (pw[0] - dt * fr, pw[1] - dt * fi)
+
+    def kick_omega_f32(self, pw, force: jnp.ndarray, dt):
+        """kick_omega with the force DFT in f32 (force-path companion of
+        to_tau_f32): the force itself carries a ~tol=1e-5 solve error, so the
+        f32 transform adds nothing measurable, while the f64 momentum carry
+        stays exact (the kick accumulates into f64 pw)."""
+        fr, fi = self.fwd32.apply(force.astype(jnp.float32), None, axis=1)
+        return (pw[0] - dt * fr, pw[1] - dt * fi)
+
+    # ------------------------------------------------------------------
+    def rotation(self, t):
+        """Precompute the exact harmonic drift of duration t as three
+        elementwise planes (c, a, g) with
+
+            x' = c * x + a * p,      p' = c * p - g * x,
+
+        covering all three mode classes in one mask-free multiply-add form:
+        oscillators (c = cos(w t), a = sin(w t)/(m w), g = m w sin(w t)),
+        zero-frequency live modes (c = 1, a = t/m, g = 0) and frozen modes
+        (c = 1, a = 0, g = 0). Hoisting this out of the leapfrog scan replaces
+        Nt software-emulated f64 cos/sin plane evaluations per trajectory with
+        one per distinct drift duration (updates/hmc.py)."""
+        m, Q = self.m, self.Q
+        live = m > 0
+        inv_m = jnp.where(live, 1.0 / jnp.where(live, m, 1.0), 0.0)
+        omega = jnp.sqrt(jnp.where(live, Q * inv_m, 0.0))
+        osc = omega > 0
+        cos_wt = jnp.cos(omega * t)
+        sin_wt = jnp.sin(omega * t)
+        inv_mw = jnp.where(osc, 1.0 / jnp.where(osc, m * omega, 1.0), 0.0)
+        c = jnp.where(osc, cos_wt, 1.0)
+        a = jnp.where(osc, sin_wt * inv_mw, t * inv_m)
+        g = jnp.where(osc, m * omega * sin_wt, 0.0)
+        return (c, a, g)
+
+    @staticmethod
+    def rotate_tabulated(xw, pw, rot):
+        """Apply a rotation() table: 6 fused multiply-adds, no transcendentals."""
+        c, a, g = rot
+        xr, xi = xw
+        pr, pi = pw
+        return (xr * c + pr * a, xi * c + pi * a), (pr * c - xr * g, pi * c - xi * g)
 
     def sample_momentum_omega(self, key) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         """Sample p_omega = sqrt(m) F xi (identically distributed to

@@ -133,6 +133,14 @@ def hmc_update(
     # software-emulated in f64 on TPU and dominate the per-leapfrog-step cost;
     # forces only shape the proposal (endpoint actions below keep f64 tables)
     force_tab_dt = None if jnp.dtype(ctx.force_dtype) == jnp.float64 else ctx.force_dtype
+    # when the force path is f32, the per-step DFT pair (omega -> tau for the
+    # force field, tau -> omega for the kick) also runs in f32: both transforms
+    # feed ONLY the tol~1e-5 force evaluation, while the (x, p) omega-space
+    # carry, the drift rotations, and the endpoint actions stay exact f64 (the
+    # final tau-space field is re-transformed in f64 once, after the scan).
+    # With a tau-space recenter callback the f64 per-step transform is kept:
+    # recentered x re-enters the exact carry through to_omega.
+    use_f32_step = force_tab_dt is not None and not has_recenter
 
     def force_kick(x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
                    dt_kick, extrap_c, k_pre, refresh):
@@ -153,12 +161,16 @@ def hmc_update(
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
         ok = ok & res.stats.converged & jnp.all(jnp.isfinite(force))
-        pw2 = efa.kick_omega(pw, force, dt_kick)
+        kick = efa.kick_omega_f32 if use_f32_step else efa.kick_omega
+        pw2 = kick(pw, force, dt_kick)
         return pw2, precond, psi_prev, psi_prev2, iters_sum + res.stats.iters, ok
 
-    def drift(xw, pw, t_drift):
-        xw, pw = efa.rotate_omega(xw, pw, t_drift)
-        x = efa.to_tau(*xw)
+    def drift(xw, pw, rot):
+        """Exact harmonic rotation by a precomputed efa.rotation() table
+        (the cos/sin planes are hoisted out of the scan) + the omega -> tau
+        transform of x for the force evaluation."""
+        xw, pw = efa.rotate_tabulated(xw, pw, rot)
+        x = efa.to_tau_f32(*xw) if use_f32_step else efa.to_tau(*xw)
         if has_recenter:
             x = recenter(x)
             xw = efa.to_omega(x)
@@ -166,7 +178,9 @@ def hmc_update(
 
     if params.integrator == "leapfrog":
         # D(dt/2) [K(dt) D(dt)]^{Nt-1} K(dt) D(dt/2)
-        x, xw, pw = drift(efa.to_omega(x0), pw, dt / 2.0)
+        rot_half = efa.rotation(dt / 2.0)
+        rot_full = efa.rotation(dt)
+        x, xw, pw = drift(efa.to_omega(x0), pw, rot_half)
 
         def step(carry, t):
             x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
@@ -178,8 +192,10 @@ def hmc_update(
                 dt, c, jax.random.fold_in(k_pre0, t + 1),
                 params.refresh_precond_every_step,
             )
-            dt_drift = jnp.where(t == Nt - 1, dt / 2.0, dt)
-            x, xw, pw = drift(xw, pw, dt_drift)
+            rot = jax.tree_util.tree_map(
+                lambda h, f: jnp.where(t == Nt - 1, h, f), rot_half, rot_full
+            )
+            x, xw, pw = drift(xw, pw, rot)
             return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
 
         (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
@@ -192,7 +208,10 @@ def hmc_update(
         # 2nd-order minimum-norm: [D(l dt) K(dt/2) D((1-2l) dt) K(dt/2) D(l dt)]^Nt
         # with consecutive D(l dt) D(l dt) merged into D(2 l dt)
         lam = 0.1931833275037836
-        x, xw, pw = drift(efa.to_omega(x0), pw, lam * dt)
+        rot_lam = efa.rotation(lam * dt)
+        rot_2lam = efa.rotation(2.0 * lam * dt)
+        rot_mid = efa.rotation((1.0 - 2.0 * lam) * dt)
+        x, xw, pw = drift(efa.to_omega(x0), pw, rot_lam)
         # warm-start spacings alternate: before kick A of step t > 0 the field
         # drifted 2 l dt since kick B; before kick B it drifted (1 - 2 l) dt
         c_a = 2.0 * lam / (1.0 - 2.0 * lam)
@@ -207,15 +226,17 @@ def hmc_update(
                 dt / 2.0, c, jax.random.fold_in(k_pre0, t + 1),
                 params.refresh_precond_every_step,
             )
-            x, xw, pw = drift(xw, pw, (1.0 - 2.0 * lam) * dt)
+            x, xw, pw = drift(xw, pw, rot_mid)
             # kick B (the (2t+1)-th solve)
             c = jnp.where(2 * t + 1 >= 2, c_b, 0.0)
             pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
                 x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
                 dt / 2.0, c, jax.random.fold_in(k_pre0, -(t + 1)), False,
             )
-            dt_drift = jnp.where(t == Nt - 1, lam * dt, 2.0 * lam * dt)
-            x, xw, pw = drift(xw, pw, dt_drift)
+            rot = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(t == Nt - 1, a, b), rot_lam, rot_2lam
+            )
+            x, xw, pw = drift(xw, pw, rot)
             return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
 
         (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
@@ -228,6 +249,11 @@ def hmc_update(
         raise ValueError(
             f"HMCParams.integrator must be 'leapfrog' or 'omelyan', got {params.integrator!r}"
         )
+
+    if use_f32_step:
+        # the per-step x was an f32 view for the force path only; the endpoint
+        # field is re-transformed once from the exact f64 omega-space carry
+        x = efa.to_tau(*xw)
 
     # final action (warm-started from the last force solve: same Phi, x one
     # half-drift away; the f64 endpoint solve still converges to ctx.tol)

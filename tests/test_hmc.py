@@ -37,6 +37,57 @@ def test_efa_conserves_harmonic_energy(rng):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-10)
 
 
+def test_efa_rotation_tables_match_rotate_omega(rng):
+    """rotation()/rotate_tabulated must reproduce rotate_omega exactly —
+    the tables are the same formulas with the transcendentals hoisted."""
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=2.0, alpha=0.4)
+    efa = FourierAccelerator.build(elph)
+    shape = (elph.n_phonon, elph.Ltau)
+    xw = (jnp.asarray(rng.standard_normal(shape)), jnp.asarray(rng.standard_normal(shape)))
+    pw = (jnp.asarray(rng.standard_normal(shape)), jnp.asarray(rng.standard_normal(shape)))
+    for t in (0.13, 0.7, np.pi / 2):
+        ref_x, ref_p = efa.rotate_omega(xw, pw, t)
+        tab_x, tab_p = efa.rotate_tabulated(xw, pw, efa.rotation(t))
+        for r, s in ((ref_x, tab_x), (ref_p, tab_p)):
+            np.testing.assert_allclose(np.asarray(r[0]), np.asarray(s[0]), atol=1e-13)
+            np.testing.assert_allclose(np.asarray(r[1]), np.asarray(s[1]), atol=1e-13)
+
+
+def test_efa_f32_step_transforms_track_f64(rng):
+    """The per-step f32 DFT pair (to_tau_f32 / kick_omega_f32) must agree with
+    the exact transforms to f32 precision — they feed only the tol~1e-5
+    force path (updates/hmc.py use_f32_step)."""
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=2.0, alpha=0.4)
+    efa = FourierAccelerator.build(elph)
+    shape = (elph.n_phonon, elph.Ltau)
+    x = jnp.asarray(rng.standard_normal(shape))
+    xw = efa.to_omega(x)
+    x32 = efa.to_tau_f32(*xw)
+    assert x32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(x32), np.asarray(x), rtol=0, atol=2e-5)
+    force = jnp.asarray(rng.standard_normal(shape))
+    pw = (jnp.asarray(rng.standard_normal(shape)), jnp.asarray(rng.standard_normal(shape)))
+    k64 = efa.kick_omega(pw, force, 0.2)
+    k32 = efa.kick_omega_f32(pw, force, 0.2)
+    scale = float(jnp.max(jnp.abs(k64[0]))) + 1.0
+    np.testing.assert_allclose(np.asarray(k32[0]), np.asarray(k64[0]), atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(k32[1]), np.asarray(k64[1]), atol=3e-5 * scale)
+
+
+def test_hmc_f32_step_trajectory_healthy():
+    """End-to-end: an f32-force-path trajectory (the production driver
+    configuration, which now also runs the per-step DFTs in f32) must stay
+    numerically healthy — finite small dH, converged solves, f64 output."""
+    geo, tbm, tbp, _, elph = honeycomb_model(L=2, beta=2.0, alpha=0.6)
+    ctx, state = initialize_qmc(tbp, elph, seed=11, tol=1e-8, force_dtype="float32")
+    params = HMCParams(Nt=8)
+    new_state, stats = jax.jit(lambda s: hmc_update(ctx, s, params))(state)
+    assert new_state.x.dtype == jnp.float64
+    assert bool(stats.converged)
+    assert np.isfinite(float(stats.delta_H))
+    assert abs(float(stats.delta_H)) < 1.0
+
+
 def test_efa_momentum_distribution(rng):
     """K should average d/2 per degree of freedom (equipartition)."""
     geo, tbm, tbp, _, elph = chain_model(L=4, beta=1.0)
