@@ -202,24 +202,31 @@ def _measure_one_correlation(
     x: jnp.ndarray,
     fpi,
     req: CorrelationRequest,
+    cache=None,
 ):
-    """(n_pairs, Ltau+1, *L) pair for one correlation kind."""
+    """(n_pairs, Ltau+1, *L) pair for one correlation kind. `cache` is the
+    pass-wide trace-time transform cache shared across ALL kinds and composites
+    (spin_z reuses density's exchange transforms, composites reuse the direct
+    measurements', ...)."""
     shape = (est.Ltau + 1,) + est.L
     outs_re, outs_im = [], []
     geo = spec.geometry
     for (ia, ib) in req.id_pairs:
         C = (jnp.zeros(shape), jnp.zeros(shape))
         if req.kind in ("greens", "greens_up", "greens_dn"):
-            C = measure_greens_correlation(C, est, ia, ib)
+            C = measure_greens_correlation(C, est, ia, ib, cache=cache)
         elif req.kind.startswith("density"):
-            C = measure_density_correlation(C, est, ia, ib, spin_resolved=_spin_channel(req.kind))
+            C = measure_density_correlation(
+                C, est, ia, ib, spin_resolved=_spin_channel(req.kind), cache=cache
+            )
         elif req.kind == "spin_z" or req.kind == "spin_x":
-            C = measure_spin_z_correlation(C, est, ia, ib)
+            C = measure_spin_z_correlation(C, est, ia, ib, cache=cache)
         elif req.kind == "pair":
-            C = measure_pair_correlation(C, est, geo.bond(ia), geo.bond(ib))
+            C = measure_pair_correlation(C, est, geo.bond(ia), geo.bond(ib), cache=cache)
         elif req.kind.startswith("bond"):
             C = measure_bond_correlation(
-                C, est, geo.bond(ia), geo.bond(ib), spin_resolved=_spin_channel(req.kind)
+                C, est, geo.bond(ia), geo.bond(ib), spin_resolved=_spin_channel(req.kind),
+                cache=cache,
             )
         elif req.kind in CURRENT_KINDS:
             t1 = _bond_t_field(est, ctx, fpi, ia)
@@ -360,9 +367,10 @@ def make_measurements(
     out["local"] = local
 
     # ---- correlation measurements (make_measurements.jl:166-394) ----
+    cache: Dict = {}  # pass-wide transform cache (trace-time dedup)
     corr: Dict[str, object] = {}
     for name, req in spec.correlations.items():
-        corr[name] = _measure_one_correlation(ctx, spec, est, x, fpi, req)
+        corr[name] = _measure_one_correlation(ctx, spec, est, x, fpi, req, cache=cache)
     out["correlations"] = corr
 
     # ---- composite correlations (make_measurements.jl:398-713) ----
@@ -371,7 +379,7 @@ def make_measurements(
     comp: Dict[str, object] = {}
     for name, creq in spec.composites.items():
         base = CorrelationRequest(kind=creq.kind, id_pairs=creq.id_pairs)
-        comp[name] = _measure_one_correlation(ctx, spec, est, x, fpi, base)
+        comp[name] = _measure_one_correlation(ctx, spec, est, x, fpi, base, cache=cache)
     out["composite"] = comp
     return out
 

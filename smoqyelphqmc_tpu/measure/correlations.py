@@ -35,15 +35,17 @@ def _acc(C, add):
     return C[0] + add[0], C[1] + add[1]
 
 
-def measure_greens_correlation(C: Pair, est: GreensEstimator, a: int, b: int, coef: float = 1.0) -> Pair:
+def measure_greens_correlation(
+    C: Pair, est: GreensEstimator, a: int, b: int, coef: float = 1.0, cache=None
+) -> Pair:
     """Time-displaced single-particle Green's function G_ab(r, tau)."""
-    Gr, Gi = measure_G(est, (a, b))
+    Gr, Gi = measure_G(est, (a, b), cache=cache)
     return C[0] + coef * Gr, C[1] + coef * Gi
 
 
 def measure_density_correlation(
     C: Pair, est: GreensEstimator, a: int, b: int, coef: float = 1.0,
-    spin_resolved: Optional[Tuple[int, int]] = None,
+    spin_resolved: Optional[Tuple[int, int]] = None, cache=None,
 ) -> Pair:
     """Density-density correlation (density.jl:2-66)."""
     z = _zero(est)
@@ -56,14 +58,14 @@ def measure_density_correlation(
         pref, exch = 1.0, -1.0
         same_spin = spin_resolved[0] == spin_resolved[1]
     C = (C[0] + pref * coef * (na_re + nb_re - 1.0), C[1] + pref * coef * (na_im + nb_im))
-    C = _acc(C, measure_GDD_G00(est, (a, a, b, b), z, z, z, z, pref * coef))
+    C = _acc(C, measure_GDD_G00(est, (a, a, b, b), z, z, z, z, pref * coef, cache=cache))
     if same_spin:
-        C = _acc(C, measure_G0D_GD0(est, (b, a, a, b), z, z, z, z, exch * coef))
+        C = _acc(C, measure_G0D_GD0(est, (b, a, a, b), z, z, z, z, exch * coef, cache=cache))
     return C
 
 
 def measure_pair_correlation(
-    C: Pair, est: GreensEstimator, b1: Bond, b2: Bond, coef: float = 1.0
+    C: Pair, est: GreensEstimator, b1: Bond, b2: Bond, coef: float = 1.0, cache=None
 ) -> Pair:
     """Local s-wave (bond) pair correlation (pair.jl:2-22): the bond's orbitals
     are (b, a) with displacement r', matching the reference's convention."""
@@ -72,16 +74,16 @@ def measure_pair_correlation(
     d, c = b2.orbitals
     rpp = b2.displacement
     z = _zero(est)
-    return _acc(C, measure_GD0_GD0(est, (a, c, b, d), rp, rpp, z, z, coef))
+    return _acc(C, measure_GD0_GD0(est, (a, c, b, d), rp, rpp, z, z, coef, cache=cache))
 
 
 def measure_spin_z_correlation(
-    C: Pair, est: GreensEstimator, a: int, b: int, coef: float = 1.0
+    C: Pair, est: GreensEstimator, a: int, b: int, coef: float = 1.0, cache=None
 ) -> Pair:
     """S_z - S_z correlation (spin.jl:2-16); identical to S_x/S_y for
     spin-symmetric models."""
     z = _zero(est)
-    return _acc(C, measure_G0D_GD0(est, (b, a, a, b), z, z, z, z, -0.5 * coef))
+    return _acc(C, measure_G0D_GD0(est, (b, a, a, b), z, z, z, z, -0.5 * coef, cache=cache))
 
 
 measure_spin_x_correlation = measure_spin_z_correlation
@@ -89,7 +91,7 @@ measure_spin_x_correlation = measure_spin_z_correlation
 
 def measure_bond_correlation(
     C: Pair, est: GreensEstimator, b1: Bond, b2: Bond, coef: float = 1.0,
-    spin_resolved: Optional[Tuple[int, int]] = None,
+    spin_resolved: Optional[Tuple[int, int]] = None, cache=None,
 ) -> Pair:
     """Bond-bond (kinetic-energy) correlation: 4 GDD.G00 + 4 G0D.GD0 terms
     (bond.jl:2-132)."""
@@ -104,22 +106,22 @@ def measure_bond_correlation(
     else:
         pref, exch = 1.0, -1.0
         same_spin = spin_resolved[0] == spin_resolved[1]
-    C = _acc(C, measure_GDD_G00(est, (a, b, c, d), rp, z, rpp, z, pref * coef))
-    C = _acc(C, measure_GDD_G00(est, (a, b, d, c), rp, z, z, rpp, pref * coef))
-    C = _acc(C, measure_GDD_G00(est, (b, a, c, d), z, rp, rpp, z, pref * coef))
-    C = _acc(C, measure_GDD_G00(est, (b, a, d, c), z, rp, z, rpp, pref * coef))
+    C = _acc(C, measure_GDD_G00(est, (a, b, c, d), rp, z, rpp, z, pref * coef, cache=cache))
+    C = _acc(C, measure_GDD_G00(est, (a, b, d, c), rp, z, z, rpp, pref * coef, cache=cache))
+    C = _acc(C, measure_GDD_G00(est, (b, a, c, d), z, rp, rpp, z, pref * coef, cache=cache))
+    C = _acc(C, measure_GDD_G00(est, (b, a, d, c), z, rp, z, rpp, pref * coef, cache=cache))
     if same_spin:
-        C = _acc(C, measure_G0D_GD0(est, (c, b, a, d), rpp, z, rp, z, exch * coef))
-        C = _acc(C, measure_G0D_GD0(est, (d, b, a, c), z, z, rp, rpp, exch * coef))
-        C = _acc(C, measure_G0D_GD0(est, (c, a, b, d), rpp, rp, z, z, exch * coef))
-        C = _acc(C, measure_G0D_GD0(est, (d, a, b, c), z, rp, z, rpp, exch * coef))
+        C = _acc(C, measure_G0D_GD0(est, (c, b, a, d), rpp, z, rp, z, exch * coef, cache=cache))
+        C = _acc(C, measure_G0D_GD0(est, (d, b, a, c), z, z, rp, rpp, exch * coef, cache=cache))
+        C = _acc(C, measure_G0D_GD0(est, (c, a, b, d), rpp, rp, z, z, exch * coef, cache=cache))
+        C = _acc(C, measure_G0D_GD0(est, (d, a, b, c), z, rp, z, rpp, exch * coef, cache=cache))
     return C
 
 
 def measure_current_correlation(
     C: Pair, est: GreensEstimator, b1: Bond, b2: Bond,
     t1: Pair, t2: Pair, coef: float = 1.0,
-    spin_resolved: Optional[Tuple[int, int]] = None,
+    spin_resolved: Optional[Tuple[int, int]] = None, cache=None,
 ) -> Pair:
     """Current-current correlation weighted by the time-dependent hopping fields
     t1, t2 of the two bonds, each an (re, im-or-None) pair of (Ltau, *L) arrays

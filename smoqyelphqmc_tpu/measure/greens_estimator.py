@@ -31,14 +31,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.fermion_det import FermionDetMatrix
-from ..ops.fourier import AxisDFT, FactoredDFT
+from ..ops.fourier import FactoredDFT, PackedDFT
 from ..utils.pytree import register_pytree_dataclass, static_field
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
+# transform-size thresholds: dense packed matmuls up to these sizes, the
+# asymptotically-cheaper factored / per-axis forms beyond (see PackedDFT)
+_PACKED_TAU_MAX = 1024
+_JOINT_SPACE_MAX_CELLS = 512
+
 
 def _cmul(ar, ai, br, bi) -> Pair:
     return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cached(cache: Optional[dict], key, fn):
+    """Trace-time transform cache: repeated contraction terms across correlation
+    kinds (spin_z == density exchange term, composite re-measurements, ...) share
+    ONE transformed field instead of relying on XLA CSE. key=None bypasses."""
+    if cache is None or key is None:
+        return fn()
+    if key not in cache:
+        cache[key] = fn()
+    return cache[key]
 
 
 @register_pytree_dataclass
@@ -47,16 +63,17 @@ class GreensEstimator:
 
     R: jnp.ndarray  # (Nrv, 2, Ltau, N) random vectors (channel axis = re/im)
     GR: jnp.ndarray  # (Nrv, 2, Ltau, N)
-    tau2_fwd: AxisDFT  # length-2Ltau transforms (single-G aperiodic doubling)
-    tau2_inv: AxisDFT
-    tau_fwd: AxisDFT  # length-Ltau transforms (pair contractions)
-    tau_inv: AxisDFT
-    space_fwd: Tuple[AxisDFT, ...]  # one per lattice dimension
-    space_inv: Tuple[AxisDFT, ...]
+    tau2_fwd: object  # length-2Ltau transforms (single-G aperiodic doubling)
+    tau2_inv: object
+    tau_fwd: object  # length-Ltau transforms (pair contractions)
+    tau_inv: object
+    space_fwd: object  # joint PackedDFT over flattened cells, or per-axis tuple
+    space_inv: object
     Nrv: int = static_field()
     Ltau: int = static_field()
     n_orb: int = static_field()
     L: Tuple[int, ...] = static_field()
+    joint_space: bool = static_field(default=True)
     # dtype of the contraction engine: float32 rounding (~1e-7) is far below the
     # 1/sqrt(Nrv...) statistical noise of the estimators, so the FFT/product
     # arithmetic can run at native MXU speed while the CG solves stay f64
@@ -87,31 +104,43 @@ class GreensEstimator:
         return GR[:, 0], GR[:, 1], R[:, 0], -R[:, 1]
 
     # ------------------------------------------------------------------
-    def _fft_all(self, ar, ai, tau_dft: AxisDFT, inverse: bool) -> Pair:
-        """Multi-axis DFT over (tau, *L) — the trailing D+1 axes of ar/ai."""
-        dfts = self.space_inv if inverse else self.space_fwd
+    def xt(self, ar, ai, inverse: bool, doubled: bool = False) -> Pair:
+        """Multi-axis DFT over the trailing (tau, *L) axes of ar/ai. The
+        forward (analysis of the shifted factor) uses the plain DFT kernel; the
+        inverse kernel (with its 1/Nvol norm) serves both the analysis of the
+        un-shifted factor and the final synthesis — the cross-correlation
+        identity S = IDFT(DFT(a) . IDFT(b)) (_translational_average!,
+        GreensEstimator.jl:677-708)."""
+        if doubled:
+            tau_dft = self.tau2_inv if inverse else self.tau2_fwd
+        else:
+            tau_dft = self.tau_inv if inverse else self.tau_fwd
         ndim = ar.ndim
         tau_axis = ndim - 1 - self.D
         ar, ai = tau_dft.apply(ar, ai, axis=tau_axis)
-        for d in range(self.D):
-            ar, ai = dfts[d].apply(ar, ai, axis=tau_axis + 1 + d)
+        sp = self.space_inv if inverse else self.space_fwd
+        if self.joint_space:
+            lead = ar.shape[: tau_axis + 1]
+            ar, ai = sp.apply(ar.reshape(lead + (-1,)), ai.reshape(lead + (-1,)), axis=-1)
+            ar = ar.reshape(lead + self.L)
+            ai = ai.reshape(lead + self.L)
+        else:
+            for d in range(self.D):
+                ar, ai = sp[d].apply(ar, ai, axis=tau_axis + 1 + d)
         return ar, ai
 
     def xcorr_accumulate(self, ar, ai, br, bi, doubled: bool) -> Pair:
         """S[r] = (1/Nvol) sum_i a[i+r] b[i] over (tau, *L) for batched a, b;
-        sums the leading batch axes (_translational_average!,
-        GreensEstimator.jl:677-708, batched)."""
-        tf = self.tau2_fwd if doubled else self.tau_fwd
-        ti = self.tau2_inv if doubled else self.tau_inv
-        fr, fi = self._fft_all(ar, ai, tf, inverse=False)
-        hr, hi = self._fft_all(br, bi, ti, inverse=True)
+        sums the leading batch axes."""
+        fr, fi = self.xt(ar, ai, inverse=False, doubled=doubled)
+        hr, hi = self.xt(br, bi, inverse=True, doubled=doubled)
         pr, pi = _cmul(fr, fi, hr, hi)
         # sum over every leading axis before the final inverse transform
         extra = pr.ndim - (1 + self.D)
         if extra > 0:
             pr = jnp.sum(pr, axis=tuple(range(extra)))
             pi = jnp.sum(pi, axis=tuple(range(extra)))
-        return self._fft_all(pr, pi, ti, inverse=True)
+        return self.xt(pr, pi, inverse=True, doubled=doubled)
 
 
 class EstimatorUpdate(NamedTuple):
@@ -120,26 +149,44 @@ class EstimatorUpdate(NamedTuple):
     converged: jnp.ndarray
 
 
+def _tau_dft(n: int, inverse: bool, dtype: str):
+    norm = 1.0 / n if inverse else 1.0
+    if n <= _PACKED_TAU_MAX:
+        return PackedDFT.build(n, inverse=inverse, norm=norm, dtype=dtype)
+    return FactoredDFT.build(n, inverse=inverse, norm=norm, dtype=dtype)
+
+
 def build_greens_estimator(
     Ltau: int, n_orb: int, L: Sequence[int], Nrv: int = 10, dtype: str = "float64"
 ) -> GreensEstimator:
     L = tuple(int(x) for x in L)
-    n_sites = int(np.prod(L)) * n_orb
+    n_cells = int(np.prod(L))
+    n_sites = n_cells * n_orb
     dt = jnp.dtype(dtype)
     zeros = jnp.zeros((Nrv, 2, Ltau, n_sites), dtype=dt)
+    joint = n_cells <= _JOINT_SPACE_MAX_CELLS
+    if joint:
+        space_fwd = PackedDFT.build_joint(L, dtype=dtype)
+        space_inv = PackedDFT.build_joint(L, inverse=True, dtype=dtype)
+    else:
+        space_fwd = tuple(PackedDFT.build(l, dtype=dtype) for l in L)
+        space_inv = tuple(
+            PackedDFT.build(l, inverse=True, norm=1.0 / l, dtype=dtype) for l in L
+        )
     return GreensEstimator(
         R=zeros,
         GR=zeros,
-        tau2_fwd=FactoredDFT.build(2 * Ltau, dtype=dtype),
-        tau2_inv=FactoredDFT.build(2 * Ltau, inverse=True, norm=1.0 / (2 * Ltau), dtype=dtype),
-        tau_fwd=FactoredDFT.build(Ltau, dtype=dtype),
-        tau_inv=FactoredDFT.build(Ltau, inverse=True, norm=1.0 / Ltau, dtype=dtype),
-        space_fwd=tuple(AxisDFT.build(l, dtype=dtype) for l in L),
-        space_inv=tuple(AxisDFT.build(l, inverse=True, dtype=dtype) for l in L),
+        tau2_fwd=_tau_dft(2 * Ltau, False, dtype),
+        tau2_inv=_tau_dft(2 * Ltau, True, dtype),
+        tau_fwd=_tau_dft(Ltau, False, dtype),
+        tau_inv=_tau_dft(Ltau, True, dtype),
+        space_fwd=space_fwd,
+        space_inv=space_inv,
         Nrv=Nrv,
         Ltau=Ltau,
         n_orb=n_orb,
         L=L,
+        joint_space=joint,
         dtype=dtype,
     )
 
@@ -187,17 +234,30 @@ def update_greens_estimator(
 # ----------------------------------------------------------------------
 
 
-def measure_G(est: GreensEstimator, orbitals: Tuple[int, int]) -> Pair:
+def measure_G(est: GreensEstimator, orbitals: Tuple[int, int], cache: Optional[dict] = None) -> Pair:
     """G_ab(r, tau) for tau = 0..beta, shape (Ltau+1, *L)
     (measure_GD0!, GreensEstimator.jl:179-233)."""
     a, b = orbitals
-    GAr, GAi, RBr, RBi = *est.orbital_fields(a)[:2], *est.orbital_fields(b)[2:]
-    # aperiodic sign extension along tau
-    Ar = jnp.concatenate([GAr, -GAr], axis=1)
-    Ai = jnp.concatenate([GAi, -GAi], axis=1)
-    Br = jnp.concatenate([RBr, -RBr], axis=1)
-    Bi = jnp.concatenate([RBi, -RBi], axis=1)
-    Sr, Si = est.xcorr_accumulate(Ar, Ai, Br, Bi, doubled=True)
+
+    def mkF():
+        GAr, GAi = est.orbital_fields(a)[:2]
+        # aperiodic sign extension along tau
+        Ar = jnp.concatenate([GAr, -GAr], axis=1)
+        Ai = jnp.concatenate([GAi, -GAi], axis=1)
+        return est.xt(Ar, Ai, inverse=False, doubled=True)
+
+    def mkH():
+        RBr, RBi = est.orbital_fields(b)[2:]
+        Br = jnp.concatenate([RBr, -RBr], axis=1)
+        Bi = jnp.concatenate([RBi, -RBi], axis=1)
+        return est.xt(Br, Bi, inverse=True, doubled=True)
+
+    Fr, Fi = _cached(cache, ("G2", "G", a), mkF)
+    Hr, Hi = _cached(cache, ("G2", "R", b), mkH)
+    pr, pi = _cmul(Fr, Fi, Hr, Hi)
+    pr = jnp.sum(pr, axis=0)
+    pi = jnp.sum(pi, axis=0)
+    Sr, Si = est.xt(pr, pi, inverse=True, doubled=True)
     Sr = Sr / est.Nrv
     Si = Si / est.Nrv
     Gr = Sr[: est.Ltau]
@@ -254,19 +314,36 @@ def _four_point(
     t0: Optional[Pair],
     conj_tD: bool,
     conj_t0: bool,
+    cache: Optional[dict] = None,
+    keyP=None,
+    keyQ=None,
 ) -> Pair:
     """sum over ordered random-vector pairs (n, m), n -> first slot, m -> second:
-    xcorr( tD (.) X1_n (.) X2_m ,  t0 (.) Y1_n (.) Y2_m ) / Npairs."""
+    xcorr( tD (.) X1_n (.) X2_m ,  t0 (.) Y1_n (.) Y2_m ) / Npairs. The two
+    per-pair-field transforms (the engine's dominant cost) are cached by the
+    semantic keys keyP/keyQ; weighted sides bypass the cache."""
     (X1r, X1i, X2r, X2i), (Y1r, Y1i, Y2r, Y2i) = fields
     pn, pm = _pair_indices(est.Nrv)
     pn = jnp.asarray(pn)
     pm = jnp.asarray(pm)
-    Pr, Pi = _cmul(X1r[pn], X1i[pn], X2r[pm], X2i[pm])  # (Npairs, Ltau, *L)
-    Qr, Qi = _cmul(Y1r[pn], Y1i[pn], Y2r[pm], Y2i[pm])
-    Pr, Pi = _apply_weight(est, Pr, Pi, tD, conj_tD)
-    Qr, Qi = _apply_weight(est, Qr, Qi, t0, conj_t0)
-    Sr, Si = est.xcorr_accumulate(Pr, Pi, Qr, Qi, doubled=False)
-    npairs = len(np.triu_indices(est.Nrv, k=1)[0])
+
+    def mkP():
+        Pr, Pi = _cmul(X1r[pn], X1i[pn], X2r[pm], X2i[pm])  # (Npairs, Ltau, *L)
+        Pr, Pi = _apply_weight(est, Pr, Pi, tD, conj_tD)
+        return est.xt(Pr, Pi, inverse=False)
+
+    def mkQ():
+        Qr, Qi = _cmul(Y1r[pn], Y1i[pn], Y2r[pm], Y2i[pm])
+        Qr, Qi = _apply_weight(est, Qr, Qi, t0, conj_t0)
+        return est.xt(Qr, Qi, inverse=True)
+
+    Fr, Fi = _cached(cache, keyP if tD is None else None, mkP)
+    Hr, Hi = _cached(cache, keyQ if t0 is None else None, mkQ)
+    pr, pi = _cmul(Fr, Fi, Hr, Hi)
+    pr = jnp.sum(pr, axis=0)
+    pi = jnp.sum(pi, axis=0)
+    Sr, Si = est.xt(pr, pi, inverse=True)
+    npairs = pn.shape[0]
     return Sr / npairs, Si / npairs
 
 
@@ -330,6 +407,7 @@ def measure_GD0_GD0(
     t0: Optional[Pair] = None,
     conj_tD: bool = False,
     conj_t0: bool = False,
+    cache: Optional[dict] = None,
 ) -> Pair:
     """G(D,0).G(D,0) contraction with its two tau = beta boundary corrections and
     the double-delta term (measure_GD0_GD0!, GreensEstimator.jl:241-388)."""
@@ -345,7 +423,12 @@ def measure_GD0_GD0(
         (sh(GAr, r1), sh(GAi, r1), sh(GCr, r3), sh(GCi, r3)),
         (sh(RBr, r2), sh(RBi, r2), sh(RDr, r4), sh(RDi, r4)),
     )
-    Sr, Si = _four_point(est, fields, tD, t0, conj_tD, conj_t0)
+    r1t, r2t, r3t, r4t = (tuple(int(v) for v in r) for r in (r1, r2, r3, r4))
+    Sr, Si = _four_point(
+        est, fields, tD, t0, conj_tD, conj_t0, cache,
+        keyP=("GD0P", "G", a, r1t, "G", c, r3t),
+        keyQ=("GD0Q", "R", b, r2t, "R", d, r4t),
+    )
     Cr, Ci = _extend_beta(est, Sr, Si)
 
     # tau = beta corrections
@@ -398,30 +481,45 @@ def measure_GDD_G00(
     t0: Optional[Pair] = None,
     conj_tD: bool = False,
     conj_t0: bool = False,
+    cache: Optional[dict] = None,
 ) -> Pair:
     """G(D,D).G(0,0) contraction (measure_GDD_G00!, GreensEstimator.jl:396-467) —
-    equal-time factors at both ends, no boundary corrections."""
+    equal-time factors at both ends, no boundary corrections.
+
+    The delta-side product depends only on vector n and the zero-side only on m,
+    so the pair sum FACTORIZES: averaging over ALL ordered pairs n != m (an
+    equally unbiased estimator with 2x the reference's binomial(Nrv,2) pairs),
+
+        sum_{n != m} F(P_n) G(Q_m) = (sum_n F(P_n)) (sum_m G(Q_m))
+                                     - sum_n F(P_n) G(Q_n),
+
+    which needs 2*Nrv field transforms instead of 2*binomial(Nrv,2)."""
     a, b, c, d = orbitals
     GAr, GAi, _, _ = est.orbital_fields(a)
     _, _, RBr, RBi = est.orbital_fields(b)
     GCr, GCi, _, _ = est.orbital_fields(c)
     _, _, RDr, RDi = est.orbital_fields(d)
     sh = lambda arr, r: _roll_cells(est, arr, r, -1)
-    fields = (
-        (sh(GAr, r1), sh(GAi, r1), sh(RBr, r2), sh(RBi, r2)),
-        (sh(GCr, r3), sh(GCi, r3), sh(RDr, r4), sh(RDi, r4)),
-    )
-    # slot pairing: delta side takes vector n (GR_a, R_b), zero side vector m
-    (X1r, X1i, X2r, X2i), (Y1r, Y1i, Y2r, Y2i) = fields
-    pn, pm = _pair_indices(est.Nrv)
-    pn = jnp.asarray(pn)
-    pm = jnp.asarray(pm)
-    Pr, Pi = _cmul(X1r[pn], X1i[pn], X2r[pn], X2i[pn])
-    Qr, Qi = _cmul(Y1r[pm], Y1i[pm], Y2r[pm], Y2i[pm])
-    Pr, Pi = _apply_weight(est, Pr, Pi, tD, conj_tD)
-    Qr, Qi = _apply_weight(est, Qr, Qi, t0, conj_t0)
-    Sr, Si = est.xcorr_accumulate(Pr, Pi, Qr, Qi, doubled=False)
-    npairs = pn.shape[0]
+    r1t, r2t, r3t, r4t = (tuple(int(v) for v in r) for r in (r1, r2, r3, r4))
+
+    def mkF():
+        Pr, Pi = _cmul(sh(GAr, r1), sh(GAi, r1), sh(RBr, r2), sh(RBi, r2))
+        Pr, Pi = _apply_weight(est, Pr, Pi, tD, conj_tD)
+        return est.xt(Pr, Pi, inverse=False)  # (Nrv, Ltau, *L)
+
+    def mkH():
+        Qr, Qi = _cmul(sh(GCr, r3), sh(GCi, r3), sh(RDr, r4), sh(RDi, r4))
+        Qr, Qi = _apply_weight(est, Qr, Qi, t0, conj_t0)
+        return est.xt(Qr, Qi, inverse=True)
+
+    Fr, Fi = _cached(cache, ("GDDP", "G", a, r1t, "R", b, r2t) if tD is None else None, mkF)
+    Hr, Hi = _cached(cache, ("GDDQ", "G", c, r3t, "R", d, r4t) if t0 is None else None, mkH)
+    tot_r, tot_i = _cmul(Fr.sum(0), Fi.sum(0), Hr.sum(0), Hi.sum(0))
+    diag_r, diag_i = _cmul(Fr, Fi, Hr, Hi)
+    pr = tot_r - diag_r.sum(0)
+    pi = tot_i - diag_i.sum(0)
+    Sr, Si = est.xt(pr, pi, inverse=True)
+    npairs = est.Nrv * (est.Nrv - 1)
     Cr, Ci = _extend_beta(est, Sr / npairs, Si / npairs)
     return coef * Cr, coef * Ci
 
@@ -435,6 +533,7 @@ def measure_G0D_GD0(
     t0: Optional[Pair] = None,
     conj_tD: bool = False,
     conj_t0: bool = False,
+    cache: Optional[dict] = None,
 ) -> Pair:
     """G(0,D).G(D,0) contraction with tau = 0 and tau = beta delta-corrections
     (measure_G0D_GD0!, GreensEstimator.jl:475-606)."""
@@ -450,7 +549,12 @@ def measure_G0D_GD0(
         (sh(RBr, r2), sh(RBi, r2), sh(GCr, r3), sh(GCi, r3)),
         (sh(GAr, r1), sh(GAi, r1), sh(RDr, r4), sh(RDi, r4)),
     )
-    Sr, Si = _four_point(est, fields, tD, t0, conj_tD, conj_t0)
+    r1t, r2t, r3t, r4t = (tuple(int(v) for v in r) for r in (r1, r2, r3, r4))
+    Sr, Si = _four_point(
+        est, fields, tD, t0, conj_tD, conj_t0, cache,
+        keyP=("G0DP", "R", b, r2t, "G", c, r3t),
+        keyQ=("G0DQ", "G", a, r1t, "R", d, r4t),
+    )
     Cr, Ci = _extend_beta(est, Sr, Si)
 
     shift = tuple(-r1[k] + r2[k] - r3[k] + r4[k] for k in range(D))

@@ -172,6 +172,75 @@ class FactoredDFT:
 
 
 @register_pytree_dataclass
+class PackedDFT:
+    """Complex DFT along one axis as ONE real matmul in the packed [re | im]
+    basis — the MXU-shaped formulation of the contraction-engine transforms.
+
+    A complex matvec y = W v splits into 4 real matmuls when (re, im) are
+    separate planes; packing the planes along the contracted axis turns it into
+    a single real matmul with the (2n, 2n) block matrix
+
+        [yr | yi] = [vr | vi] @ [[Wre^T, Wim^T], [-Wim^T, Wre^T]]
+
+    with IDENTICAL FLOPs but a contraction dimension of 2n instead of n1/n2-
+    sized factored stages — at the measurement engine's sizes (2n = 480 for the
+    tau axis, 2*Ncells = 288 for the joint space transform) this moves the DFTs
+    from ~1-2% of MXU peak (12-16-wide contractions) to MXU-shaped matmuls.
+    Real input (vim is None) uses only the top half of the packed matrix.
+
+    `matrices` lets the caller supply an arbitrary complex kernel (e.g. the
+    Kronecker product of the per-axis space DFTs — see build_joint)."""
+
+    Wp: jnp.ndarray  # (2n, 2n) packed matrix (transposed layout, right-multiply)
+    n: int = static_field()
+
+    @staticmethod
+    def build(
+        n: int,
+        inverse: bool = False,
+        norm: float = 1.0,
+        dtype: str = "float64",
+        matrices: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> "PackedDFT":
+        if matrices is None:
+            sign = 1.0 if inverse else -1.0
+            wre, wim = dft_matrices(n, sign=sign, norm=norm)
+        else:
+            wre, wim = matrices
+            n = wre.shape[0]
+        top = np.concatenate([wre.T, wim.T], axis=1)  # (n, 2n)
+        bot = np.concatenate([-wim.T, wre.T], axis=1)
+        dt = jnp.dtype(dtype)
+        return PackedDFT(Wp=jnp.asarray(np.concatenate([top, bot], axis=0), dtype=dt), n=n)
+
+    @staticmethod
+    def build_joint(
+        Ls: Tuple[int, ...], inverse: bool = False, dtype: str = "float64"
+    ) -> "PackedDFT":
+        """Kronecker product of per-axis DFTs: one packed matmul transforming
+        all D flattened cell axes at once (contraction dim 2*prod(Ls))."""
+        sign = 1.0 if inverse else -1.0
+        W = np.ones((1, 1), dtype=complex)
+        for l in Ls:
+            wre, wim = dft_matrices(l, sign=sign, norm=(1.0 / l if inverse else 1.0))
+            W = np.kron(W, wre + 1j * wim)
+        return PackedDFT.build(W.shape[0], dtype=dtype, matrices=(W.real, W.imag))
+
+    def apply(
+        self, vre: jnp.ndarray, vim: Optional[jnp.ndarray], axis: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n = self.n
+        vre_m = jnp.moveaxis(vre, axis, -1)
+        if vim is None:
+            out = vre_m @ self.Wp[:n]
+        else:
+            vim_m = jnp.moveaxis(vim, axis, -1)
+            out = jnp.concatenate([vre_m, vim_m], axis=-1) @ self.Wp
+        ure, uim = out[..., :n], out[..., n:]
+        return jnp.moveaxis(ure, -1, axis), jnp.moveaxis(uim, -1, axis)
+
+
+@register_pytree_dataclass
 class AxisDFT:
     """Plain (periodic) DFT along one axis as a matmul pair — building block for
     space-time correlation FFTs and structure factors (no complex dtype needed)."""

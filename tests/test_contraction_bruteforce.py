@@ -84,11 +84,12 @@ def test_topologies_vs_bruteforce(model_fn, kw, r1, r2, r3, r4):
             C += _xcorr_pairs(build_P(n, m), build_Q(n, m), Ltau, L)
         return C / len(pairs)
 
-    # ---- GDD_G00 ----
-    ref = pair_avg(
-        lambda n, m: (GA[n] * RB[n])[None],
-        lambda n, m: (GC[m] * RD[m])[None],
-    )
+    # ---- GDD_G00 (factorized engine averages over ordered pairs n != m) ----
+    pairs_ord = [(n, m) for n in range(Nrv) for m in range(Nrv) if n != m]
+    ref = np.zeros((Ltau,) + L, dtype=complex)
+    for (n, m) in pairs_ord:
+        ref += _xcorr_pairs((GA[n] * RB[n])[None], (GC[m] * RD[m])[None], Ltau, L)
+    ref /= len(pairs_ord)
     got_r, got_i = measure_GDD_G00(est, orbs, r1, r2, r3, r4, 1.0)
     got = np.asarray(got_r) + 1j * np.asarray(got_i)
     np.testing.assert_allclose(got[:Ltau], ref, atol=1e-10)
@@ -155,7 +156,7 @@ def test_weighted_contraction_vs_bruteforce():
 
     tD = (jnp.asarray(t1), None)
     t0 = (jnp.asarray(t2), None)
-    pairs = [(n, m) for n in range(Nrv) for m in range(n + 1, Nrv)]
+    pairs = [(n, m) for n in range(Nrv) for m in range(Nrv) if n != m]
     z = (0,)
     ref = np.zeros((Ltau,) + L, dtype=complex)
     for (n, m) in pairs:
