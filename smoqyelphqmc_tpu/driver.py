@@ -105,6 +105,59 @@ def _msolve_dtype(cfg: SimulationConfig) -> Optional[str]:
     return "float32" if jnp.dtype(dt) == jnp.float32 else None
 
 
+def fold_kpm_diagnostics(metadata: Dict, precond) -> None:
+    """Fold the carried KPM preconditioner's self-diagnostics into the run
+    metadata (-> simulation_info.toml) and warn visibly on deactivation.
+
+    The reference @warn-s when its KPM preconditioner self-deactivates
+    (/root/reference/src/KPMPreconditioner.jl:573-594 semantics); here the
+    final carried state records (a) whether KPM deactivated — live Lanczos
+    bounds out of the valid window or the truncation-positivity guard fired —
+    in which case CG ran UNPRECONDITIONED, and (b) how many frequencies wanted
+    a higher Chebyshev order than the static cap allowed (silent quality
+    loss). Multi-walker states carry (W,)-shaped leaves; reduce over walkers.
+    No-op for non-KPM preconditioners (spectral/None have no `active`)."""
+    import warnings
+
+    if precond is None or not hasattr(precond, "active") or not hasattr(
+        precond, "order_clip_count"
+    ):
+        return
+
+    def read(a):
+        # multihost: a (W,)-leaf sharded over the global mesh is not np-readable
+        # from one process — reduce over this host's addressable shards only
+        if hasattr(a, "is_fully_addressable") and not a.is_fully_addressable:
+            return np.concatenate(
+                [np.atleast_1d(np.asarray(s.data)) for s in a.addressable_shards]
+            )
+        return np.asarray(a)
+
+    active = read(precond.active)
+    clips = read(precond.order_clip_count)
+    n_inactive = int(np.sum(~active)) if active.ndim else int(not active)
+    metadata["kpm_active"] = bool(np.all(active))
+    metadata["kpm_inactive_walkers"] = n_inactive
+    metadata["kpm_order_clip_count"] = int(np.max(clips))
+    if n_inactive:
+        warnings.warn(
+            f"KPM preconditioner DEACTIVATED in the final state ({n_inactive} "
+            "walker(s)): Lanczos bounds outside the valid window or the "
+            "truncation-positivity guard fired — those CG solves ran "
+            "unpreconditioned. Consider raising cap_max / n_lanczos or "
+            "switching preconditioner='spectral'.",
+            stacklevel=2,
+        )
+    if int(np.max(clips)) > 0:
+        warnings.warn(
+            f"KPM order cap clipped {int(np.max(clips))} frequency orders in "
+            "the final refresh: the static cap_max bounds the Chebyshev fit "
+            "below its requested order (preconditioner quality silently "
+            "degraded; CG iteration counts may rise).",
+            stacklevel=2,
+        )
+
+
 def run_simulation(
     sim_info: SimulationInfo,
     tight_binding_model,
@@ -357,6 +410,7 @@ def run_simulation(
             maybe_checkpoint()
         if out_of_time():
             maybe_checkpoint()
+            fold_kpm_diagnostics(metadata, state.precond)
             return metadata
 
     # ------------------------------------------------------------------
@@ -382,6 +436,7 @@ def run_simulation(
             maybe_checkpoint()
         if out_of_time() and meas_done < cfg.N_measurements:
             maybe_checkpoint()
+            fold_kpm_diagnostics(metadata, state.precond)
             return metadata
 
     # ------------------------------------------------------------------
@@ -395,6 +450,7 @@ def run_simulation(
     metadata["reflection_iters"] /= max(n_updates, 1)
     metadata["swap_iters"] /= max(n_updates, 1)
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
+    fold_kpm_diagnostics(metadata, state.precond)
     if cfg.target_acceptance is not None:
         metadata["hmc_dt_final"] = float(np.asarray(dt_cur))
     if tuner is not None:
@@ -769,6 +825,7 @@ def _run_multiwalker(
             maybe_checkpoint()
         if out_of_time():
             maybe_checkpoint()
+            fold_kpm_diagnostics(metadata, states.precond)
             return metadata
 
     # ------------------------------------------------------------------
@@ -802,6 +859,7 @@ def _run_multiwalker(
             maybe_checkpoint()
         if out_of_time() and meas_done < cfg.N_measurements:
             maybe_checkpoint()
+            fold_kpm_diagnostics(metadata, states.precond)
             return metadata
 
     # ------------------------------------------------------------------
@@ -815,6 +873,7 @@ def _run_multiwalker(
     metadata["reflection_iters"] /= max(n_updates, 1)
     metadata["swap_iters"] /= max(n_updates, 1)
     metadata["measurement_iters"] /= max(cfg.N_measurements, 1)
+    fold_kpm_diagnostics(metadata, states.precond)
     # sweeps the fallback controller ran with per-walker refresh (0 = the
     # shared walker-mean refresh stayed iteration-neutral throughout)
     metadata["precond_fallback_sweeps"] = metadata_fallback["n"]

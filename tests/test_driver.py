@@ -109,3 +109,68 @@ def test_driver_acceptance_targeted_dt_multiwalker(tmp_path):
     )
     dt0 = np.pi / (2 * 4)
     assert meta["hmc_dt_final"] > dt0 * 1.1
+
+
+def test_driver_kpm_diagnostics_in_metadata(tmp_path):
+    """A KPM-preconditioned run records the preconditioner's self-diagnostics
+    in the metadata -> simulation_info.toml (VERDICT r3 item 6; the reference
+    warns on deactivation, KPMPreconditioner.jl:573-594)."""
+    sim_info, meta = _run(
+        tmp_path, chain_model,
+        cfg_kw=dict(preconditioner="kpm"),
+        L=4, beta=0.5, dtau=0.1, alpha=0.3,
+    )
+    assert "kpm_active" in meta
+    assert "kpm_order_clip_count" in meta
+    assert "kpm_inactive_walkers" in meta
+    assert meta["kpm_active"] is True  # healthy tiny config: never deactivates
+    assert meta["kpm_order_clip_count"] >= 0
+
+
+def test_driver_kpm_diagnostics_multiwalker(tmp_path):
+    sim_info, meta = _run(
+        tmp_path, chain_model,
+        cfg_kw=dict(preconditioner="kpm", n_walkers=2),
+        L=4, beta=0.5, dtau=0.1, alpha=0.3,
+    )
+    assert meta["kpm_active"] is True
+    assert meta["kpm_inactive_walkers"] == 0
+
+
+def test_fold_kpm_diagnostics_warns_on_deactivation():
+    """Forced deactivation / order clipping produce visible warnings and the
+    metadata records them (unit-level: the flags are leaves on the carried
+    preconditioner state, so forcing them exercises the exact production
+    read path)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from smoqyelphqmc_tpu.driver import fold_kpm_diagnostics
+    from smoqyelphqmc_tpu.ops.kpm import KPMPreconditioner
+    from smoqyelphqmc_tpu.updates.context import initialize_qmc, make_fdm
+
+    geo, tbm, tbp, elph_model, elph = chain_model(L=4, beta=0.5, dtau=0.1, alpha=0.3)
+    ctx, state = initialize_qmc(tbp, elph, use_preconditioner=False)
+    fdm = make_fdm(ctx, state.x)
+    import jax
+
+    pre = KPMPreconditioner.build(fdm, jax.random.PRNGKey(0))
+    bad = pre.replace(
+        active=jnp.asarray(False), order_clip_count=jnp.asarray(7, jnp.int32)
+    )
+    meta = {}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fold_kpm_diagnostics(meta, bad)
+    msgs = [str(w.message) for w in rec]
+    assert meta["kpm_active"] is False
+    assert meta["kpm_inactive_walkers"] == 1
+    assert meta["kpm_order_clip_count"] == 7
+    assert any("DEACTIVATED" in m for m in msgs)
+    assert any("clipped" in m for m in msgs)
+
+    # non-KPM preconditioners are a no-op
+    meta2 = {}
+    fold_kpm_diagnostics(meta2, None)
+    assert meta2 == {}
