@@ -755,6 +755,11 @@ def _run_multiwalker(
             meas_done = int(s["meas_done"])
             metadata.update(s["metadata"])
             metadata_fallback["n"] = int(metadata.get("precond_fallback_sweeps", 0))
+            # the fallback controller's (floor, mode) trajectory decides which
+            # refresh runs each sweep — restoring it makes the resumed chain
+            # bit-identical to an uninterrupted one (test_multihost_kill_and_resume)
+            if s.get("precond_controller") is not None:
+                pc.load_state(s["precond_controller"])
             key = jnp.asarray(s["key_host"])
             mu_walkers = to_global(s["mu_walkers"])
             if s.get("hmc_dt") is not None:
@@ -797,6 +802,7 @@ def _run_multiwalker(
             },
             "tuning_history_vecs": [tuple(t) for t in tuning_history_vecs],
             "accs": [{"sums": accs[w].sums, "count": accs[w].count} for w in owned],
+            "precond_controller": pc.state_dict(),
         }
         cp_stamp = write_checkpoint(
             sim_info.datafolder,

@@ -150,6 +150,28 @@ class PrecondFallbackController:
         else:
             self.pw_count = 0
 
+    def state_dict(self) -> dict:
+        """Checkpointable controller state. The controller's (floor, mode)
+        trajectory influences WHICH refresh runs each sweep, so a resumed run
+        must restore it to reproduce an uninterrupted run bit-for-bit
+        (tests/test_multihost.py::test_multihost_kill_and_resume). Resolves any
+        pending device scalar first — the driver's checkpoint path is already a
+        host sync point (it folds device accumulators into metadata)."""
+        self._resolve()
+        return {
+            "mode": self.mode,
+            "floor": float(self.floor),
+            "pw_count": int(self.pw_count),
+            "fallback_sweeps": int(self.fallback_sweeps),
+        }
+
+    def load_state(self, d: dict) -> None:
+        self.mode = str(d["mode"])
+        self.floor = float(d["floor"])
+        self.pw_count = int(d["pw_count"])
+        self.fallback_sweeps = int(d["fallback_sweeps"])
+        self._pending = None
+
 
 def walker_sweep(
     ctx: QMCContext, states: QMCState, hmc_params: HMCParams, recenter=None,

@@ -47,14 +47,20 @@ def init_mu_tuner(
     memory: float = 0.99,
     kappa_min: float = 0.1,
 ) -> MuTunerState:
+    # strong f64 leaves: weak-typed scalars would let f32 measurement inputs
+    # demote the whole running-mean arithmetic to f32 — and, worse, make the
+    # update's dtype depend on weak-type flags that a checkpoint round-trip
+    # cannot preserve (np arrays are strong), breaking bit-identical resume
+    # (tests/test_multihost.py::test_multihost_kill_and_resume)
+    f64 = lambda v: jnp.asarray(v, dtype=jnp.float64)
     return MuTunerState(
-        mu=jnp.asarray(float(initial_mu)),
-        t=jnp.asarray(0.0),
-        mu_sum=jnp.asarray(0.0),
-        n_sum=jnp.asarray(0.0),
-        N_sum=jnp.asarray(0.0),
-        Nsq_sum=jnp.asarray(0.0),
-        weight=jnp.asarray(0.0),
+        mu=f64(float(initial_mu)),
+        t=f64(0.0),
+        mu_sum=f64(0.0),
+        n_sum=f64(0.0),
+        N_sum=f64(0.0),
+        Nsq_sum=f64(0.0),
+        weight=f64(0.0),
         target_density=float(target_density),
         beta=float(beta),
         n_sites=int(n_sites),
@@ -68,6 +74,11 @@ def mu_tuner_update(tuner: MuTunerState, n, Nsqrd, sgn=1.0) -> MuTunerState:
     (MuTuner.update!, called at /root/reference/src/update_chemical_potential.jl:61)."""
     V = tuner.n_sites
     lam = tuner.memory
+    # f64 accumulation regardless of the measurement dtype (f32 estimator
+    # outputs must not demote the running means — and the result dtype must be
+    # independent of weak-type flags for bit-identical checkpoint resume)
+    n = jnp.asarray(n, dtype=jnp.float64)
+    Nsqrd = jnp.asarray(Nsqrd, dtype=jnp.float64)
     w = lam * tuner.weight + 1.0
     mu_sum = lam * tuner.mu_sum + tuner.mu
     n_sum = lam * tuner.n_sum + n

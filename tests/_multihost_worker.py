@@ -7,7 +7,13 @@ the SAME driver program SPMD; the driver shards the walker axis over the global
 per-rank output-file scheme of the reference's MPI tutorial
 (/root/reference/tutorials/holstein_honeycomb_mpi.jl:24-72).
 
-Usage: python _multihost_worker.py <port> <process_id> <num_processes> <workdir>
+Usage: python _multihost_worker.py <port> <process_id> <num_processes> <workdir> [json-opts]
+
+json-opts (all optional): {"runtime": hours (default inf — 0.0 interrupts after
+the first sweep, the kill+resume half of the checkpoint+MPI tutorial
+composition, /root/reference/tutorials/holstein_honeycomb_checkpoint.jl:383-416),
+"devices": virtual CPU devices per process (default 2), "prefix": datafolder
+prefix (default "mh"), "tune": per-walker mu tuning (default true)}
 """
 
 import json
@@ -17,8 +23,13 @@ import sys
 
 def main() -> None:
     port, pid, nproc, workdir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    opts = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
+    runtime = float(opts.get("runtime", float("inf")))
+    devices = int(opts.get("devices", 2))
+    prefix = opts.get("prefix", "mh")
+    tune = bool(opts.get("tune", True))
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
 
     # the package is used from the repo root without an install step
     tests_dir = os.path.dirname(os.path.abspath(__file__))
@@ -55,12 +66,13 @@ def main() -> None:
     cfg = SimulationConfig(
         beta=0.4, dtau=0.1, N_therm=1, N_measurements=2, N_bins=2,
         Nt=2, Nrv=2, tol=1e-7, seed=3, n_walkers=W,
-        target_density=1.0,           # exercises per-walker tuners + profiles
+        target_density=1.0 if tune else None,  # exercises per-walker tuners + profiles
         checkpoint_freq_hours=0.0,    # exercises per-process local-block checkpoints
+        runtime_limit_hours=runtime,  # 0.0 -> interrupt after the first sweep
     )
     # explicit sID: the auto-increment scans the filesystem and can race between
     # the two processes (documented in _run_multiwalker)
-    sim_info = SimulationInfo(filepath=workdir, datafolder_prefix="mh", sID=1)
+    sim_info = SimulationInfo(filepath=workdir, datafolder_prefix=prefix, sID=1)
     meta = run_simulation(sim_info, tbm, elph_model, spec, cfg)
 
     mesh = global_walker_mesh()
@@ -70,8 +82,11 @@ def main() -> None:
         "owned": owned,
         "n_global_devices": len(jax.devices()),
         "hmc_acceptance_rate": float(meta["hmc_acceptance_rate"]),
-        "final_mu_per_walker": {str(k): float(v) for k, v in meta["final_mu_per_walker"].items()},
     }
+    if "final_mu_per_walker" in meta:
+        report["final_mu_per_walker"] = {
+            str(k): float(v) for k, v in meta["final_mu_per_walker"].items()
+        }
     with open(os.path.join(workdir, f"worker{pid}.json"), "w") as f:
         json.dump(report, f)
 

