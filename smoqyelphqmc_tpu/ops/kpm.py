@@ -275,7 +275,7 @@ class KPMPreconditioner:
                 matrix_free = env == "1"
             else:
                 matrix_free = N > _MATRIX_FREE_MIN_SITES
-        matrix_free = bool(matrix_free) and not fdm.complex_hops
+        matrix_free = bool(matrix_free)
         a1_eff = (2.0 * a1) if fdm.symmetric else a1
         phi, perm, inv_perm, caps, buckets, block_size, n_blocks = _static_plan(
             Ltau, a1_eff, a2, cap_delta_eps, cap_max
@@ -337,12 +337,26 @@ def kpm_update(pre: KPMPreconditioner, fdm: FermionDetMatrix, key) -> KPMPrecond
     if pre.matrix_free:
         # O(N) refresh: Lanczos steps apply Bbar through the checkerboard —
         # no densification anywhere (the reference's matrix-free update,
-        # KPMPreconditioner.jl:625-658)
-        if pre.symmetric:
-            lo_raw, hi_raw = lanczos_bounds(bbar.apply, N, key, pre.n_lanczos)
+        # KPMPreconditioner.jl:625-658). Complex hoppings run Lanczos on the
+        # doubled real embedding (spectrum of E = spectrum of Bbar, doubled):
+        # the vector halves are the (re, im) channel pair the checkerboard
+        # mixes at axis -3.
+        if pre.complex_pair:
+            def apply_B(w):
+                return bbar.apply(w.reshape(2, 1, N)).reshape(-1)
+
+            def apply_Bt(w):
+                return bbar.apply_T(w.reshape(2, 1, N)).reshape(-1)
+
+            dim_l = 2 * N
         else:
-            apply_BtB = lambda v: bbar.apply_T(bbar.apply(v))
-            lo2, hi2 = lanczos_bounds(apply_BtB, N, key, pre.n_lanczos)
+            apply_B, apply_Bt = bbar.apply, bbar.apply_T
+            dim_l = N
+        if pre.symmetric:
+            lo_raw, hi_raw = lanczos_bounds(apply_B, dim_l, key, pre.n_lanczos)
+        else:
+            apply_BtB = lambda v: apply_Bt(apply_B(v))
+            lo2, hi2 = lanczos_bounds(apply_BtB, dim_l, key, pre.n_lanczos)
             lo_raw = jnp.sqrt(jnp.maximum(lo2, 0.0))
             hi_raw = jnp.sqrt(jnp.maximum(hi2, 0.0))
     else:
@@ -642,6 +656,50 @@ def _mf_cheb(pre: "KPMPreconditioner", u_re, u_im, cre, cim, bbar32=None):
     return y[0], y[1]
 
 
+def _mf_cheb_pair(pre: "KPMPreconditioner", w, cre, cim, bbar32=None):
+    """Matrix-free y = sum_k c_k T_k(Bbar') w for COMPLEX hoppings: w is
+    (..., 2, F, N) carrying the (re, im) channel pair the checkerboard mixes
+    at axis -3 (ops/checkerboard.py complex branch), and the complex frequency
+    coefficient acts through the i-rotation of the SAME pair — with complex
+    hoppings the field's complex structure and the operator's coincide, so one
+    rotation serves both (dense analogue: _block_cheb_pair). Same O(n_colors N)
+    per order recurrence as _mf_cheb."""
+    dt = w.dtype
+    bbar = bbar32 if bbar32 is not None else pre.bbar
+    center = ((pre.hi + pre.lo) * 0.5).astype(dt)
+    inv_half = (1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)).astype(dt)
+
+    def applyBp(t):
+        return (bbar.apply(t) - center * t) * inv_half
+
+    def rot_i(t):
+        return jnp.stack([-t[..., 1, :, :], t[..., 0, :, :]], axis=-3)
+
+    use_im = not pre.symmetric  # symmetric coefficients are real
+    C = cre.shape[1]
+    y = cre[:, 0][:, None] * w
+    if use_im:
+        y = y + cim[:, 0][:, None] * rot_i(w)
+    if C == 1:
+        return y
+    t1 = applyBp(w)
+    if use_im:
+        cs = jnp.stack([cre.T, cim.T], axis=1)[1:]  # (C-1, 2, F)
+    else:
+        cs = cre.T[1:, None]  # (C-1, 1, F)
+
+    def step(carry, ck):
+        t_prev, t_cur, y = carry
+        y = y + ck[0][:, None] * t_cur
+        if use_im:
+            y = y + ck[1][:, None] * rot_i(t_cur)
+        t_next = 2.0 * applyBp(t_cur) - t_prev
+        return (t_cur, t_next, y), None
+
+    (_, _, y), _ = lax.scan(step, (w, t1, y), cs)
+    return y
+
+
 def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
     """z = P^{-1} r for real r (..., Ltau, N); channels/batches broadcast.
 
@@ -659,13 +717,16 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
         bbar32 = jax.tree_util.tree_map(lambda a: a.astype(dt), pre.bbar)
 
         # fused VMEM-resident recurrence (ops/pallas_fused.py:_kpm_mf_kernel)
-        # for the symmetric real-hopping path: the XLA scan's C sequential
+        # for real-hopping factorizations: the XLA scan's C sequential
         # host-scheduled steps are dispatch-latency-bound (~24 ms/apply at
         # N = 1152, scripts/scaling_bench.py); in-kernel while loops over
         # order-sorted frequency blocks cut the apply to ~the checkerboard
-        # FLOPs. Trace-time static gate; SMOQY_FUSED_KPM=0/interpret overrides.
+        # FLOPs. The asymmetric factorization runs its two conjugate passes
+        # inside ONE kernel (complex coefficients mix the (re, im) rows of a
+        # chunk-paired channel layout). Trace-time static gate;
+        # SMOQY_FUSED_KPM=0/interpret overrides.
         fused_plan = None
-        if pre.symmetric and not pre.complex_pair:
+        if not pre.complex_pair:
             from .pallas_fused import build_kpm_mf_plan, fused_kpm_mode
 
             mode = fused_kpm_mode()
@@ -673,32 +734,47 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
                 fused_plan = build_kpm_mf_plan(
                     pre.caps, pre.bbar.cb.partner, pre.Ltau, pre.n_sites,
                     pre.coefs_re[0].shape[1], interpret=(mode == "interpret"),
+                    symmetric=pre.symmetric,
                 )
+
+        def live_orders():
+            # live per-frequency orders (same formula as kpm_update —
+            # coefficients beyond them are exactly zero)
+            phi_eff = jnp.asarray(np.minimum(pre.phi, 2 * np.pi - pre.phi))
+            width = (pre.hi - pre.lo).astype(jnp.float64)
+            orders_raw = jnp.maximum(
+                1,
+                jnp.floor(width * (pre.a1 / phi_eff + pre.a2)).astype(jnp.int32),
+            )
+            return jnp.minimum(orders_raw, jnp.asarray(pre.caps.astype(np.int32)))
 
         def transform(r):
             cre, cim = pre.coefs_re[0], pre.coefs_im[0]
-            ure, uim = pre.fft.forward(r)
-            if pre.symmetric:
-                if fused_plan is not None:
-                    from .pallas_fused import kpm_mf_apply
-
-                    # live per-frequency orders (same formula as kpm_update —
-                    # coefficients beyond them are exactly zero)
-                    phi_eff = jnp.asarray(np.minimum(pre.phi, 2 * np.pi - pre.phi))
-                    width = (pre.hi - pre.lo).astype(jnp.float64)
-                    orders_raw = jnp.maximum(
-                        1,
-                        jnp.floor(width * (pre.a1 / phi_eff + pre.a2)).astype(jnp.int32),
-                    )
-                    orders = jnp.minimum(orders_raw, jnp.asarray(pre.caps.astype(np.int32)))
-                    center = ((pre.hi + pre.lo) * 0.5).astype(dt)
-                    inv_half = (1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)).astype(dt)
-                    yre, yim = kpm_mf_apply(
-                        fused_plan, bbar32.cb.C, bbar32.cb.S, bbar32.expV,
-                        center, inv_half, ure, uim, cre, orders,
-                    )
+            if pre.complex_pair:
+                # channel pair (..., 2, Ltau, N): complex tau-FFT of the
+                # complex field, then the channel-mixing checkerboard
+                # recurrence on (..., 2, F, N) pairs
+                ure, uim = pre.fft.forward(r[..., 0, :, :], r[..., 1, :, :])
+                w = jnp.stack([ure, uim], axis=-3)
+                if pre.symmetric:
+                    w = _mf_cheb_pair(pre, w, cre, cim, bbar32)
                 else:
-                    yre, yim = _mf_cheb(pre, ure, uim, cre, None, bbar32)
+                    w = _mf_cheb_pair(pre, w, cre, -cim, bbar32)
+                    w = _mf_cheb_pair(pre, w, cre, cim, bbar32)
+                zre, zim = pre.fft.inverse(w[..., 0, :, :], w[..., 1, :, :])
+                return jnp.stack([zre, zim], axis=-3)
+            ure, uim = pre.fft.forward(r)
+            if fused_plan is not None:
+                from .pallas_fused import kpm_mf_apply
+
+                center = ((pre.hi + pre.lo) * 0.5).astype(dt)
+                inv_half = (1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)).astype(dt)
+                yre, yim = kpm_mf_apply(
+                    fused_plan, bbar32.cb.C, bbar32.cb.S, bbar32.expV,
+                    center, inv_half, ure, uim, cre, cim, live_orders(),
+                )
+            elif pre.symmetric:
+                yre, yim = _mf_cheb(pre, ure, uim, cre, None, bbar32)
             else:
                 # two passes: conj(coefs) then coefs (KPMPreconditioner.jl:455-459)
                 yre, yim = _mf_cheb(pre, ure, uim, cre, -cim, bbar32)

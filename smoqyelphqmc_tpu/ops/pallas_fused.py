@@ -1194,6 +1194,93 @@ def _kpm_mf_kernel(u_ref, Crow_ref, Skrow_ref, expVih_ref, cih_ref,
     out_ref[:] = y
 
 
+def _kpm_mf_asym_kernel(u_ref, Crow_ref, Skrow_ref, expVih_ref, cih_ref,
+                        cre_ref, cim_ref, bound_ref, out_ref, *, shifts):
+    """Two-pass ASYMMETRIC KPM apply for one (pair-chunk, frequency-block).
+
+    u_ref (2, blkF, N) holds the (re, im) rows of ONE complex frequency-space
+    vector; pass 1 applies sum_k conj(c)_k T_k(Bbar'), pass 2 applies
+    sum_k c_k T_k(Bbar') to its output (the reference's two conjugate ldiv!
+    passes, KPMPreconditioner.jl:455-459), with the complex coefficient acting
+    through the in-chunk row rotation i (re, im) = (-im, re). Bbar' is the
+    asymmetric scaled propagator (expV * CB - center)/half; hoppings are real,
+    so the recurrence itself never mixes the two rows — only the coefficient
+    accumulation does."""
+    N = u_ref.shape[-1]
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+
+    def cb(t):
+        for c in range(n_colors):
+            acc = Crow_ref[c] * t
+            for k, s in enumerate(shifts[c]):
+                tp = pltpu.roll(t, jnp.int32((N - s) % N), 2) if s else t
+                acc = acc + Skrow_ref[int(offsets[c]) + k] * tp
+            t = acc
+        return t
+
+    def applyBp(t):
+        w = cb(t)
+        w = expVih_ref[:] * w
+        return w - cih_ref[:] * t
+
+    cre = cre_ref[:]  # (blkF, C_pad)
+    cim = cim_ref[:]
+    C_pad = cre.shape[-1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, C_pad), 1)
+
+    def coef_at(tab, it):
+        m = (kcol == it).astype(jnp.float32)
+        return jnp.sum(tab * m, axis=-1, keepdims=True)  # (blkF, 1)
+
+    bound = bound_ref[pl.program_id(1), 0].astype(jnp.int32)
+
+    def rot(t):  # i * (re, im) = (-im, re) across the chunk rows
+        return jnp.concatenate([-t[1:2], t[0:1]], axis=0)
+
+    def cheb_pass(u, sgn_im):
+        y = coef_at(cre, jnp.int32(0)) * u + sgn_im * coef_at(cim, jnp.int32(0)) * rot(u)
+        t1 = applyBp(u)
+
+        def cond(carry):
+            return carry[3] < bound
+
+        def body(carry):
+            t_prev, t_cur, y, it = carry
+            y = y + coef_at(cre, it) * t_cur + sgn_im * coef_at(cim, it) * rot(t_cur)
+            t_next = 2.0 * applyBp(t_cur) - t_prev
+            return (t_cur, t_next, y, it + np.int32(1))
+
+        _, _, y, _ = jax.lax.while_loop(cond, body, (u, t1, y, jnp.int32(1)))
+        return y
+
+    y1 = cheb_pass(u_ref[:], np.float32(-1.0))
+    out_ref[:] = cheb_pass(y1, np.float32(1.0))
+
+
+def _kpm_mf_asym_call(u, Crow, Skrow, expVih, cih, cre, cim, bounds,
+                      shifts, blkF: int, interpret: bool):
+    R, F, N = u.shape  # R = 2 B interleaved (re, im) pairs
+    kernel = functools.partial(_kpm_mf_asym_kernel, shifts=shifts)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, F, N), jnp.float32),
+        grid=(R // 2, F // blkF),
+        in_specs=[
+            pl.BlockSpec((2, blkF, N), lambda r, b: (r, b, _Z)),
+            pl.BlockSpec(Crow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec(Skrow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((blkF, cre.shape[-1]), lambda r, b: (b, _Z)),
+            pl.BlockSpec((blkF, cim.shape[-1]), lambda r, b: (b, _Z)),
+            pl.BlockSpec(bounds.shape, lambda r, b: (_Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((2, blkF, N), lambda r, b: (r, b, _Z)),
+        interpret=interpret,
+    )(u, Crow, Skrow, expVih, cih, cre, cim, bounds)
+
+
 def _kpm_mf_call(u, Crow, Skrow, expVih, cih, coefs, bounds,
                  shifts, blkF: int, cR: int, interpret: bool):
     R, F, N = u.shape
@@ -1221,7 +1308,8 @@ class KPMMFPlan:
     KPMPreconditioner structure): frequency sort permutation, block sizes,
     roll-class decomposition."""
 
-    def __init__(self, perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret):
+    def __init__(self, perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret,
+                 symmetric=True):
         self.perm_sort = perm_sort
         self.inv_perm_sort = inv_perm_sort
         self.shifts = shifts
@@ -1229,6 +1317,7 @@ class KPMMFPlan:
         self.blkF = blkF
         self.cR = cR
         self.interpret = interpret
+        self.symmetric = symmetric
 
 
 def fused_kpm_mode() -> Optional[str]:
@@ -1249,7 +1338,8 @@ def fused_kpm_mode() -> Optional[str]:
 
 
 def build_kpm_mf_plan(caps: np.ndarray, partner: np.ndarray, Ltau: int, N: int,
-                      C_pad: int, interpret: bool) -> Optional[KPMMFPlan]:
+                      C_pad: int, interpret: bool,
+                      symmetric: bool = True) -> Optional[KPMMFPlan]:
     """Static plan, or None when the lattice has no small roll-class
     decomposition or the working set cannot fit VMEM at any block size."""
     if not _HAS_PALLAS:
@@ -1263,39 +1353,44 @@ def build_kpm_mf_plan(caps: np.ndarray, partner: np.ndarray, Ltau: int, N: int,
     inv_perm_sort = np.argsort(perm_sort).astype(np.int32)
     cR = 2
     # live planes per grid step: u + out (double-buffered: 4) + while-carry
-    # t_prev/t_cur/y (3) + applyBp temp (1); tables are (N,) rows
+    # t_prev/t_cur/y (3) + applyBp temp (1); tables are (N,) rows. The asym
+    # kernel additionally holds the pass-1 output + a second coefficient
+    # table across its two in-kernel passes.
+    n_state = 8 if symmetric else 10
+    n_coef_tabs = 1 if symmetric else 2
     blkF = 32
     while blkF > 1 and (
         Ltau % blkF != 0
-        or not _fits_vmem(blkF, N, 0, 0, 8, cR,
-                          (len(shifts) + n_cls_total + 2) * N + blkF * C_pad)
+        or not _fits_vmem(blkF, N, 0, 0, n_state, cR,
+                          (len(shifts) + n_cls_total + 2) * N
+                          + n_coef_tabs * blkF * C_pad)
     ):
         blkF //= 2
     if Ltau % blkF != 0 or not _fits_vmem(
-        blkF, N, 0, 0, 8, cR,
-        (len(shifts) + n_cls_total + 2) * N + blkF * C_pad,
+        blkF, N, 0, 0, n_state, cR,
+        (len(shifts) + n_cls_total + 2) * N + n_coef_tabs * blkF * C_pad,
     ):
         return None
-    return KPMMFPlan(perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret)
+    return KPMMFPlan(perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret,
+                     symmetric=symmetric)
 
 
 def kpm_mf_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, expV, center, inv_half,
-                 u_re, u_im, cre, orders):
-    """Fused y = sum_k c_k T_k(Bbar') u over stacked (re, im) channel rows.
+                 u_re, u_im, cre, cim, orders):
+    """Fused y = sum_k c_k T_k(Bbar') u.
 
-    All array operands are TRACED (closure-captured device arrays would be
-    re-shipped per dispatch, see build_fused_pcg). u_re/u_im are
-    (..., F, N); cre (F, C_pad) real coefficient planes; orders (F,) i32
+    Symmetric plans stack the (re, im) channels as independent rows (real
+    coefficients never mix them); asymmetric plans interleave them as adjacent
+    row PAIRS so each grid chunk holds one complex vector, and the kernel runs
+    the two conjugate-coefficient passes internally (cim is ignored by the
+    symmetric kernel). All array operands are TRACED (closure-captured device
+    arrays would be re-shipped per dispatch, see build_fused_pcg). u_re/u_im
+    are (..., F, N); cre/cim (F, C_pad) coefficient planes; orders (F,) i32
     live per-frequency orders (bounds the in-kernel while loops)."""
     f32 = jnp.float32
     lead = u_re.shape[:-2]
     F, N = u_re.shape[-2], u_re.shape[-1]
-    u = jnp.stack([u_re, u_im]).reshape((-1, F, N)).astype(f32)
-    R = u.shape[0]
-    if R % plan.cR != 0:  # odd row counts: pad one zero row
-        u = jnp.concatenate([u, jnp.zeros((1, F, N), f32)])
     perm = jnp.asarray(plan.perm_sort)
-    u_s = jnp.take(u, perm, axis=-2)
     cre_s = jnp.take(cre.astype(f32), perm, axis=0)
     n_fb = F // plan.blkF
     bounds = (
@@ -1311,6 +1406,30 @@ def kpm_mf_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, expV, center, inv_half,
     )
     expVih = (expV.astype(f32) * inv_half.astype(f32))[None, :]
     cih = jnp.broadcast_to((center * inv_half).astype(f32), (1, N))
+
+    if not plan.symmetric:
+        # interleave (re, im) as adjacent pairs: chunk r holds one vector
+        ur = u_re.reshape((-1, F, N)).astype(f32)
+        ui = u_im.reshape((-1, F, N)).astype(f32)
+        u = jnp.stack([ur, ui], axis=1).reshape((-1, F, N))
+        u_s = jnp.take(u, perm, axis=-2)
+        cim_s = jnp.take(cim.astype(f32), perm, axis=0)
+        y_s = _kpm_mf_asym_call(
+            u_s, Crow, Skrow, expVih, cih, cre_s, cim_s, bounds,
+            shifts=plan.shifts, blkF=plan.blkF, interpret=plan.interpret,
+        )
+        y = jnp.take(y_s, jnp.asarray(plan.inv_perm_sort), axis=-2)
+        y = y.reshape((-1, 2, F, N))
+        return (
+            y[:, 0].reshape(lead + (F, N)),
+            y[:, 1].reshape(lead + (F, N)),
+        )
+
+    u = jnp.stack([u_re, u_im]).reshape((-1, F, N)).astype(f32)
+    R = u.shape[0]
+    if R % plan.cR != 0:  # odd row counts: pad one zero row
+        u = jnp.concatenate([u, jnp.zeros((1, F, N), f32)])
+    u_s = jnp.take(u, perm, axis=-2)
     y_s = _kpm_mf_call(
         u_s, Crow, Skrow, expVih, cih, cre_s, bounds,
         shifts=plan.shifts, blkF=plan.blkF, cR=plan.cR, interpret=plan.interpret,
