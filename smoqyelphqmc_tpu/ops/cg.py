@@ -166,15 +166,27 @@ def cg_solve_mixed(
 
     def outer_body(carry):
         x, r, eps, it_total, outer, done = carry
+        # Adaptive per-cycle tolerance: a correction cycle only needs to gain
+        # eps -> ~tol/4, so the LAST cycle — whose starting eps already sits
+        # just above tol because each f32 cycle's gain floors at ~kappa*eps_f32
+        # (measured: cycle 2 lands at ~2e-10 for tol = 1e-10 at the headline
+        # config regardless of inner_tol) — runs at a loose relative tolerance
+        # (a handful of iterations) instead of a full inner_tol solve. Never
+        # looser than 0.25, never tighter than inner_tol, so early cycles are
+        # untouched. The fused kernel accepts the traced tolerance through its
+        # rhs-scaling trick (ops/pallas_fused.py:FusedPCG.__call__).
+        itol = jnp.maximum(
+            inner_tol, jnp.minimum(0.25, 0.25 * tol / jnp.maximum(jnp.max(eps), 1e-300))
+        )
         if inner_solver is not None:
             # e.g. the VMEM-resident fused Pallas PCG (ops/pallas_fused.py)
-            e32, stats = inner_solver(r.astype(jnp.float32), inner_tol, maxiter)
+            e32, stats = inner_solver(r.astype(jnp.float32), itol, maxiter)
         else:
             e32, stats = cg_solve(
                 apply_A_low,
                 r.astype(jnp.float32),
                 precond=precond,
-                tol=inner_tol,
+                tol=itol,
                 maxiter=maxiter,
                 sys_ndim=sys_ndim,
             )

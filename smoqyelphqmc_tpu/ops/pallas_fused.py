@@ -842,11 +842,27 @@ class FusedPCG:
             # mtm may come from an f64 fdm (the mixed-precision build path):
             # the kernel's rhs must stay f32 regardless
             rhs = (bb - self.mtm(xx0).astype(jnp.float32)) / safe_normb
+        # TRACED tolerance support without a traced kernel operand: the
+        # kernel's test is absolute on the fed (unit-norm) system, so scaling
+        # the rhs by kernel_tol / tol makes the static kernel_tol act as the
+        # requested relative tolerance — one scalar multiply, no recompile per
+        # tol value (used by cg_solve_mixed's adaptive last-cycle tolerance).
+        traced_tol = not isinstance(tol, (int, float, np.floating))
+        if traced_tol:
+            kernel_tol = 1e-5
+            tscale = (jnp.asarray(kernel_tol, jnp.float32)
+                      / jnp.maximum(tol, 1e-30).astype(jnp.float32))
+            rhs = rhs * tscale
+        else:
+            kernel_tol = float(tol)
         x, eps, iters = _pcg_call(
             rhs, *self.arrays,
-            shifts=self.shifts, tol=float(tol), maxiter=int(maxiter),
+            shifts=self.shifts, tol=kernel_tol, maxiter=int(maxiter),
             chunk=chunk, interpret=self.interpret, symmetric=self.symmetric,
         )
+        if traced_tol:
+            x = x / tscale
+            eps = eps / tscale
         x = x * safe_normb
         if x0 is not None:
             x = x + xx0

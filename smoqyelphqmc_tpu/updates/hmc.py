@@ -57,6 +57,14 @@ class HMCParams:
     # force planes on this toolchain (ops/pff.py gate comment;
     # scripts/device_sanity.py). SMOQY_FUSED_STEP=0/1 overrides.
     fused_step_force: bool = static_field(default=False)
+    # warm-start extrapolation order for the trajectory force solves: 2 =
+    # linear chronological extrapolation of the previous two solutions, 3 =
+    # quadratic through the previous three (leapfrog's uniform spacing only;
+    # Omelyan always uses linear). Higher order cancels one more power of dt
+    # in the warm-start residual at the cost of a larger amplification of the
+    # tol-level solve noise; device A/B at the headline config: 9.16 / 8.14 /
+    # 10.06 iters/solve for orders 2 / 3 / 4 (BENCH.md) — 3 is the default.
+    warm_order: int = static_field(default=3)
 
     def timestep(self):
         import math
@@ -126,8 +134,15 @@ def hmc_update(
     # O(dt) drift of the solution along the trajectory (c = 1 for leapfrog's
     # uniform spacing; Omelyan alternates two spacings).
     warm_shape = (2, elph.Ltau, ctx.n_sites)
-    psi_prev = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
-    psi_prev2 = jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype))
+    # solution-history tuple for the warm-start extrapolation, newest first;
+    # extra buffers ride the carry only at higher orders (a dead carry would
+    # still cost scan copies). Omelyan's nonuniform kick spacing only supports
+    # the linear form.
+    n_hist = params.warm_order if params.integrator == "leapfrog" else 2
+    n_hist = max(2, min(n_hist, 4))
+    hist = tuple(
+        jnp.zeros(warm_shape, dtype=jnp.dtype(ctx.force_dtype)) for _ in range(n_hist)
+    )
 
     # force-path propagator tables in f32: the exp/cosh/sinh transcendentals are
     # software-emulated in f64 on TPU and dominate the per-leapfrog-step cost;
@@ -142,28 +157,41 @@ def hmc_update(
     # recentered x re-enters the exact carry through to_omega.
     use_f32_step = force_tab_dt is not None and not has_recenter
 
-    def force_kick(x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
-                   dt_kick, extrap_c, k_pre, refresh):
-        """Solve the fermionic force at x and kick p_omega by dt_kick."""
+    # backward finite differences of the solution history, newest first
+    _diffs = (
+        lambda h: h[0] - h[1],
+        lambda h: h[0] - 2.0 * h[1] + h[2],
+        lambda h: h[0] - 3.0 * h[1] + 3.0 * h[2] - h[3],
+    )
+
+    def force_kick(x, pw, precond, hist, iters_sum, ok,
+                   dt_kick, cs, k_pre, refresh):
+        """Solve the fermionic force at x and kick p_omega by dt_kick. cs is
+        the tuple of per-order extrapolation gates (order k's backward
+        difference needs k+1 previous solutions — each gate opens one solve
+        after the one below it)."""
         fdm = make_fdm(ctx, x, dtype=force_tab_dt)
         if precond is not None and refresh:
             precond = refresh_preconditioner(precond, fdm, k_pre)
-        psi_warm = psi_prev + extrap_c * (psi_prev - psi_prev2)
+        # chronological extrapolation through the previous len(hist) solutions
+        # (uniform spacing): psi_warm = sum over valid backward differences
+        psi_warm = hist[0]
+        for k in range(len(hist) - 1):
+            psi_warm = psi_warm + cs[k] * _diffs[k](hist)
         res = fermionic_action_and_force(
             Phi, elph, fdm, x, ctx.plan,
             precond=precond, tol=ctx.tol_force, maxiter=ctx.maxiter,
             mixed=ctx.mixed_precision, solve_dtype=ctx.force_dtype,
             warm_start=psi_warm, fused_step=params.fused_step_force,
         )
-        psi_prev2 = psi_prev
-        psi_prev = res.psi_raw.astype(psi_prev.dtype)
+        hist = (res.psi_raw.astype(hist[0].dtype),) + hist[:-1]
         force = res.force
         force = add_anharmonic_force(force, elph, x)
         force = add_dispersive_force(force, elph, x)
         ok = ok & res.stats.converged & jnp.all(jnp.isfinite(force))
         kick = efa.kick_omega_f32 if use_f32_step else efa.kick_omega
         pw2 = kick(pw, force, dt_kick)
-        return pw2, precond, psi_prev, psi_prev2, iters_sum + res.stats.iters, ok
+        return pw2, precond, hist, iters_sum + res.stats.iters, ok
 
     def drift(xw, pw, rot):
         """Exact harmonic rotation by a precomputed efa.rotation() table
@@ -176,37 +204,67 @@ def hmc_update(
             xw = efa.to_omega(x)
         return x, xw, pw
 
+    # The preconditioner rides the scan carry ONLY when it is actually
+    # refreshed inside the trajectory: carrying the (large) loop-invariant
+    # preconditioner pytree through lax.scan materialized ~87 device copies
+    # per leapfrog step (~11 ms of the 69 ms W=8 trajectory, device trace) —
+    # XLA double-buffers every carried leaf instead of recognizing the
+    # invariance. In the production path (refresh_precond_every_step=False)
+    # the scan closes over it and the carry holds a dummy scalar.
+    carry_precond = params.refresh_precond_every_step
+    precond_closed = precond
+    pre0 = precond if carry_precond else jnp.asarray(0, jnp.int32)
+
+    def kick_with(x, pw, pre_c, hist, iters_sum, ok,
+                  dt_kick, cs, k_pre):
+        pre = pre_c if carry_precond else precond_closed
+        pw, pre, hist, iters_sum, ok = force_kick(
+            x, pw, pre, hist, iters_sum, ok,
+            dt_kick, cs, k_pre, params.refresh_precond_every_step,
+        )
+        pre_c = pre if carry_precond else pre_c
+        return pw, pre_c, hist, iters_sum, ok
+
     if params.integrator == "leapfrog":
-        # D(dt/2) [K(dt) D(dt)]^{Nt-1} K(dt) D(dt/2)
+        # D(dt/2) [K(dt) D(dt)]^{Nt-1} K(dt) D(dt/2): the scan runs the Nt-1
+        # full-drift steps; the final kick + half drift are peeled out so no
+        # step selects between rotation tables (the per-step
+        # where(t == Nt-1, ...) plane selects showed up as ~ms-scale
+        # select fusions in the device trace)
         rot_half = efa.rotation(dt / 2.0)
         rot_full = efa.rotation(dt)
         x, xw, pw = drift(efa.to_omega(x0), pw, rot_half)
 
         def step(carry, t):
-            x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
-            # t = 0: zero guess (psi_prev = 0); t = 1: previous solution;
-            # t >= 2: linear extrapolation with uniform spacing (c = 1)
-            c = jnp.where(t >= 2, 1.0, 0.0)
-            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
-                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
-                dt, c, jax.random.fold_in(k_pre0, t + 1),
-                params.refresh_precond_every_step,
+            x, xw, pw, pre_c, hist, iters_sum, ok = carry
+            # t = 0: zero guess (hist = 0); t = 1: previous solution; order-k
+            # difference terms gate in once k+1 previous solutions exist
+            cs = tuple(jnp.where(t >= k + 2, 1.0, 0.0) for k in range(len(hist) - 1))
+            pw, pre_c, hist, iters_sum, ok = kick_with(
+                x, pw, pre_c, hist, iters_sum, ok,
+                dt, cs, jax.random.fold_in(k_pre0, t + 1),
             )
-            rot = jax.tree_util.tree_map(
-                lambda h, f: jnp.where(t == Nt - 1, h, f), rot_half, rot_full
-            )
-            x, xw, pw = drift(xw, pw, rot)
-            return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
+            x, xw, pw = drift(xw, pw, rot_full)
+            return (x, xw, pw, pre_c, hist, iters_sum, ok), None
 
-        (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
+        (x, xw, pw, pre0, hist, iters_sum, ok), _ = lax.scan(
             step,
-            (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
-            jnp.arange(Nt),
+            (x, xw, pw, pre0, hist, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+            jnp.arange(Nt - 1),
         )
+        # final kick (solve index Nt-1) + closing half drift
+        pw, pre0, hist, iters_sum, ok = kick_with(
+            x, pw, pre0, hist, iters_sum, ok,
+            dt,
+            tuple(1.0 if Nt >= k + 3 else 0.0 for k in range(len(hist) - 1)),
+            jax.random.fold_in(k_pre0, Nt),
+        )
+        x, xw, pw = drift(xw, pw, rot_half)
         n_solves = Nt + 1
     elif params.integrator == "omelyan":
         # 2nd-order minimum-norm: [D(l dt) K(dt/2) D((1-2l) dt) K(dt/2) D(l dt)]^Nt
-        # with consecutive D(l dt) D(l dt) merged into D(2 l dt)
+        # with consecutive D(l dt) D(l dt) merged into D(2 l dt); the last
+        # step is peeled out of the scan (closing drift rot_lam, no selects)
         lam = 0.1931833275037836
         rot_lam = efa.rotation(lam * dt)
         rot_2lam = efa.rotation(2.0 * lam * dt)
@@ -217,38 +275,50 @@ def hmc_update(
         c_a = 2.0 * lam / (1.0 - 2.0 * lam)
         c_b = (1.0 - 2.0 * lam) / (2.0 * lam)
 
-        def step(carry, t):
-            x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok = carry
-            # kick A (the 2t-th solve): gate extrapolation on solve index >= 2
-            c = jnp.where(2 * t >= 2, c_a, 0.0)
-            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
-                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
-                dt / 2.0, c, jax.random.fold_in(k_pre0, t + 1),
-                params.refresh_precond_every_step,
+        def two_kicks(x, xw, pw, pre_c, hist, iters_sum, ok, t, ca, cb):
+            # kick A (the 2t-th solve)
+            pw, pre_c, hist, iters_sum, ok = kick_with(
+                x, pw, pre_c, hist, iters_sum, ok,
+                dt / 2.0, (ca,), jax.random.fold_in(k_pre0, t + 1),
             )
             x, xw, pw = drift(xw, pw, rot_mid)
             # kick B (the (2t+1)-th solve)
-            c = jnp.where(2 * t + 1 >= 2, c_b, 0.0)
-            pw, precond, psi_prev, psi_prev2, iters_sum, ok = force_kick(
-                x, pw, precond, psi_prev, psi_prev2, iters_sum, ok,
-                dt / 2.0, c, jax.random.fold_in(k_pre0, -(t + 1)), False,
+            pw, pre_c, hist, iters_sum, ok = kick_with(
+                x, pw, pre_c, hist, iters_sum, ok,
+                dt / 2.0, (cb,), jax.random.fold_in(k_pre0, -(t + 1)),
             )
-            rot = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(t == Nt - 1, a, b), rot_lam, rot_2lam
-            )
-            x, xw, pw = drift(xw, pw, rot)
-            return (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), None
+            return x, xw, pw, pre_c, hist, iters_sum, ok
 
-        (x, xw, pw, precond, psi_prev, psi_prev2, iters_sum, ok), _ = lax.scan(
+        def step(carry, t):
+            x, xw, pw, pre_c, hist, iters_sum, ok = carry
+            # gate extrapolation on solve index >= 2
+            ca = jnp.where(2 * t >= 2, c_a, 0.0)
+            cb = jnp.where(2 * t + 1 >= 2, c_b, 0.0)
+            x, xw, pw, pre_c, hist, iters_sum, ok = two_kicks(
+                x, xw, pw, pre_c, hist, iters_sum, ok, t, ca, cb
+            )
+            x, xw, pw = drift(xw, pw, rot_2lam)
+            return (x, xw, pw, pre_c, hist, iters_sum, ok), None
+
+        (x, xw, pw, pre0, hist, iters_sum, ok), _ = lax.scan(
             step,
-            (x, xw, pw, precond, psi_prev, psi_prev2, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
-            jnp.arange(Nt),
+            (x, xw, pw, pre0, hist, jnp.asarray(0, jnp.int32), jnp.asarray(True)),
+            jnp.arange(Nt - 1),
         )
+        x, xw, pw, pre0, hist, iters_sum, ok = two_kicks(
+            x, xw, pw, pre0, hist, iters_sum, ok,
+            jnp.asarray(Nt - 1),
+            c_a if Nt >= 2 else 0.0,
+            c_b if Nt >= 1 and 2 * Nt - 1 >= 2 else 0.0,
+        )
+        x, xw, pw = drift(xw, pw, rot_lam)
         n_solves = 2 * Nt + 1
     else:
         raise ValueError(
             f"HMCParams.integrator must be 'leapfrog' or 'omelyan', got {params.integrator!r}"
         )
+    if carry_precond:
+        precond = pre0
 
     if use_f32_step:
         # the per-step x was an f32 view for the force path only; the endpoint
@@ -262,7 +332,7 @@ def hmc_update(
         precond = refresh_preconditioner(precond, fdm1, jax.random.fold_in(k_pre0, Nt + 1))
     res1 = fermionic_action(
         Phi, elph, fdm1, x, precond=precond, tol=ctx.tol, maxiter=ctx.maxiter,
-        mixed=ctx.mixed_precision, warm_start=psi_prev.astype(jnp.float64),
+        mixed=ctx.mixed_precision, warm_start=hist[0].astype(jnp.float64),
     )
     ok = ok & res1.stats.converged & jnp.isfinite(res1.Sf)
     Sb1 = bosonic_action(elph, x)
