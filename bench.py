@@ -55,6 +55,17 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _drain(x) -> None:
+    """Execution barrier that actually works on the tunneled axon backend:
+    jax.block_until_ready can return while executions are still deferred
+    (measured: a queue of production sweeps then drains ~1000x slower than
+    synchronous stepping), so timed loops pull ONE tiny scalar per iteration
+    — the same per-sweep sync the production driver performs (driver._sync)."""
+    import jax
+
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0:1])
+
+
 def build_case(L=12, beta=12.0, dtau=0.05, alpha=0.6, Omega=1.0, seed=0):
     from smoqyelphqmc_tpu import (
         Bond,
@@ -150,12 +161,12 @@ def bench_sweeps(n_sweeps=3, Nt=24):
     # whole sweep inside the timed loop
     iters = jnp.zeros((), jnp.float64)
     state, iters = sweep(state, iters)
-    jax.block_until_ready(state.x)  # compile + warm
+    _drain(iters)  # compile + warm
     iters = jnp.zeros((), jnp.float64)
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         state, iters = sweep(state, iters)
-    jax.block_until_ready(state.x)
+        _drain(iters)  # per-iteration barrier (see _drain)
     dt = time.perf_counter() - t0
     return n_sweeps / dt, float(iters) / n_sweeps
 
@@ -174,11 +185,11 @@ def bench_walker_sweeps(W=8, n_sweeps=2, Nt=24):
     params = HMCParams(Nt=Nt)
     step = jax.jit(lambda s: walker_sweep(ctx, s, params))
     states, _ = step(states)
-    jax.block_until_ready(states.x)
+    _drain(states.key)
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         states, _ = step(states)
-    jax.block_until_ready(states.x)
+        _drain(states.key)  # per-iteration barrier (see _drain)
     return n_sweeps * W / (time.perf_counter() - t0)
 
 
@@ -226,11 +237,11 @@ def bench_walker_measured(W=8, n_sweeps=2, Nt=24, Nrv=10):
 
     key = jax.random.PRNGKey(7)
     states, out, key = sweep_and_measure(states, key)
-    jax.block_until_ready(states.x)
+    _drain(states.key)
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         states, out, key = sweep_and_measure(states, key)
-    jax.block_until_ready(states.x)
+        _drain(key)  # per-iteration barrier (see _drain)
     return n_sweeps * W / (time.perf_counter() - t0)
 
 
@@ -253,9 +264,9 @@ def bench_matvecs(n_iters=200, batch=2) -> float:
 
         return lax.fori_loop(0, n_iters, body, v)
 
-    loop(v0).block_until_ready()  # compile
+    _drain(loop(v0))  # compile
     t0 = time.perf_counter()
-    loop(v0).block_until_ready()
+    _drain(loop(v0))
     dt = time.perf_counter() - t0
     return n_iters / dt
 

@@ -5,12 +5,18 @@ solves and excluded the measurement pass; the reference's headline is
 near-linear scaling of the full QMC simulation (/root/reference/README.md:9-11).
 This script runs `run_simulation` itself — thermalization + measured sweeps +
 bins written to disk — for Holstein honeycomb at beta = 12 (Ltau = 240) and
-L in {12, 24, 36, 48} (N = 288 .. 4608), twice per size (cold = compile +
-run, warm = run only), and reports warm wall-clock per sweep including the
-measurement pass (estimator refresh + contraction engine + bin IO).
+L in {12, 24, 36, 48} (N = 288 .. 4608), ONCE per size, and reads the driver's
+own phase wall-clock instrumentation from the returned metadata: the first
+sweep of each phase carries the trace+compile cost, so
 
-Run: python scripts/e2e_scaling.py [--sizes 12,24,36] [--therm 2] [--meas 4]
-     [--nrv 6] [--out /tmp/e2e_scaling]
+    update sweep cost   = (t_therm - t_first_therm) / (n_therm - 1)
+    measured sweep cost = (t_measure - t_first_measured) / (n_measure - 1)
+
+are post-compile whole-driver costs INCLUDING the measurement pass (estimator
+refresh + contraction engine + bin accumulation).
+
+Run: python scripts/e2e_scaling.py [--sizes 12,24,36,48] [--therm 3]
+     [--meas 5] [--nrv 6] [--out /tmp/e2e_scaling]
 """
 
 import json
@@ -25,7 +31,7 @@ sys.path.insert(0, "examples")
 
 def main():
     sizes = [12, 24, 36, 48]
-    n_therm, n_meas, nrv = 2, 4, 6
+    n_therm, n_meas, nrv = 3, 5, 6
     out_dir = "/tmp/e2e_scaling"
     for i, a in enumerate(sys.argv):
         if a == "--sizes":
@@ -38,6 +44,7 @@ def main():
             nrv = int(sys.argv[i + 1])
         if a == "--out":
             out_dir = sys.argv[i + 1]
+    assert n_therm >= 2 and n_meas >= 2, "need >= 2 sweeps per phase to amortize compile"
 
     from _common import holstein_honeycomb_model, holstein_honeycomb_spec
 
@@ -50,43 +57,45 @@ def main():
         N = 2 * L * L
         geo, tbm, em = holstein_honeycomb_model(L, 1.0, 1.5, 0.0)
         spec = holstein_honeycomb_spec(geo)
-
-        def one_run(tag, seed):
-            folder = os.path.join(out_dir, f"L{L}_{tag}")
-            shutil.rmtree(folder, ignore_errors=True)
-            os.makedirs(folder, exist_ok=True)
-            sim_info = SimulationInfo(
-                filepath=folder, datafolder_prefix=f"hh_L{L}", sID=1
-            )
-            cfg = SimulationConfig(
-                beta=12.0, dtau=0.05, N_therm=n_therm, N_measurements=n_meas,
-                N_bins=2, Nt=24, Nrv=nrv, tol=1e-10, maxiter=10_000, seed=seed,
-            )
-            t0 = time.perf_counter()
-            run_simulation(sim_info, tbm, em, spec, cfg, resume=False)
-            return time.perf_counter() - t0
-
-        t_cold = one_run("cold", seed=1)
-        t_warm = one_run("warm", seed=2)
-        n_sweeps = n_therm + n_meas
+        folder = os.path.join(out_dir, f"L{L}")
+        shutil.rmtree(folder, ignore_errors=True)
+        os.makedirs(folder, exist_ok=True)
+        sim_info = SimulationInfo(filepath=folder, datafolder_prefix=f"hh_L{L}", sID=1)
+        cfg = SimulationConfig(
+            beta=12.0, dtau=0.05, N_therm=n_therm, N_measurements=n_meas,
+            N_bins=2, Nt=24, Nrv=nrv, tol=1e-10, maxiter=10_000, seed=1,
+        )
+        t0 = time.perf_counter()
+        md = run_simulation(sim_info, tbm, em, spec, cfg, resume=False)
+        wall = time.perf_counter() - t0
+        upd = (md["t_therm_s"] - md["t_first_therm_sweep_s"]) / (md["n_therm_timed"] - 1)
+        mea = (md["t_measure_s"] - md["t_first_measured_sweep_s"]) / (
+            md["n_measure_timed"] - 1
+        )
         row = {
             "L": L, "N": N, "Ltau": 240,
-            "t_cold_s": round(t_cold, 2), "t_warm_s": round(t_warm, 2),
-            "wall_per_sweep_s": round(t_warm / n_sweeps, 3),
-            "wall_per_sweep_per_site_ms": round(1e3 * t_warm / n_sweeps / N, 4),
+            "update_sweep_s": round(upd, 3),
+            "measured_sweep_s": round(mea, 3),
+            "measured_sweep_per_site_ms": round(1e3 * mea / N, 4),
+            "compile_first_therm_s": md["t_first_therm_sweep_s"],
+            "compile_first_measured_s": md["t_first_measured_sweep_s"],
+            "total_wall_s": round(wall, 1),
             "n_therm": n_therm, "n_meas": n_meas, "nrv": nrv,
         }
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| L | N | warm wall/sweep (s) | per-site (ms) | vs prev size |")
-    print("|---|---|---|---|---|")
+    print("\n| L | N | update sweep (s) | measured sweep (s) | per-site (ms) | cost vs prev |")
+    print("|---|---|---|---|---|---|")
     prev = None
     for r in results:
-        ratio = "" if prev is None else f"{r['wall_per_sweep_s'] / prev['wall_per_sweep_s']:.2f}x cost / {r['N'] / prev['N']:.1f}x sites"
+        ratio = "" if prev is None else (
+            f"{r['measured_sweep_s'] / prev['measured_sweep_s']:.2f}x / "
+            f"{r['N'] / prev['N']:.1f}x sites"
+        )
         print(
-            f"| {r['L']} | {r['N']} | {r['wall_per_sweep_s']} | "
-            f"{r['wall_per_sweep_per_site_ms']} | {ratio} |"
+            f"| {r['L']} | {r['N']} | {r['update_sweep_s']} | {r['measured_sweep_s']} | "
+            f"{r['measured_sweep_per_site_ms']} | {ratio} |"
         )
         prev = r
     with open(os.path.join(out_dir, "results.json"), "w") as f:

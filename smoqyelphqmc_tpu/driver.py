@@ -98,6 +98,36 @@ class SimulationConfig:
     precond_retry_every: int = 32
 
 
+def _sync(x) -> None:
+    """Force ONE tiny device->host readback (an execution barrier).
+
+    jax.block_until_ready is NOT a reliable barrier on remote/tunneled
+    backends: measured on the axon tunnel, it returns immediately while
+    executions defer — and a deferred queue drains catastrophically slower
+    (~180 s per queued production sweep) than stepping synchronously
+    (~0.2 s per sweep, one extra RTT for the 8-byte scalar pull). Every
+    driver loop therefore pulls one scalar per iteration. SMOQY_SYNC_EVERY=0
+    disables (e.g. for locally-attached devices where the async pipeline is
+    trustworthy and the RTT saving matters)."""
+    import os
+
+    if os.environ.get("SMOQY_SYNC_EVERY", "1") != "0":
+        np.asarray(x)
+
+
+def _mark(label: str, t0: float) -> float:
+    """Optional coarse phase-timing trace (SMOQY_DRIVER_TIMING=1): prints the
+    wall time since the previous mark. The driver's jitted loops are async;
+    these marks bracket the HOST-side phases (init / compile / finalize) that
+    dominate small runs and are otherwise invisible."""
+    import os
+
+    t1 = time.time()
+    if os.environ.get("SMOQY_DRIVER_TIMING") == "1":
+        print(f"[driver-timing] {label}: {t1 - t0:.1f}s", flush=True)
+    return t1
+
+
 def _msolve_dtype(cfg: SimulationConfig) -> Optional[str]:
     """Estimator-refresh solve dtype: explicit cfg.measure_solve_dtype override,
     else follow cfg.measurement_dtype (None = full-precision rhs dtype)."""
@@ -186,6 +216,7 @@ def run_simulation(
     )
 
     rng = np.random.default_rng(cfg.seed)
+    _t = _mark("datafolder+summary", start_time)
     tbp = TightBindingParameters.from_model(tight_binding_model, rng)
     elph = ElectronPhononParameters.from_model(cfg.beta, cfg.dtau, electron_phonon_model, tbp, rng)
     ctx, state = initialize_qmc(
@@ -201,9 +232,11 @@ def run_simulation(
         mixed_precision=cfg.mixed_precision,
         force_dtype=cfg.force_dtype,
     )
+    _t = _mark("initialize_qmc", _t)
     est = build_greens_estimator(
         elph.Ltau, geo.n_orbitals, geo.L, Nrv=cfg.Nrv, dtype=cfg.measurement_dtype
     )
+    _t = _mark("build_greens_estimator", _t)
     hmc_params = HMCParams(
         Nt=cfg.Nt, dt=cfg.hmc_dt, jitter=cfg.hmc_jitter, integrator=cfg.hmc_integrator
     )
@@ -252,8 +285,7 @@ def run_simulation(
     # acceptance-targeted tuning never recompiles the sweep program
     dt0 = float(hmc_params.timestep())
 
-    @jax.jit
-    def sweep(ctx_, state_: QMCState, acc_vec, dt_):
+    def _sweep_once(ctx_, state_: QMCState, acc_vec, dt_):
         state_, r_stats = reflection_update(ctx_, state_)
         state_, s_stats = swap_update(ctx_, state_)
         if cfg.use_radial_updates:
@@ -279,8 +311,9 @@ def run_simulation(
         # roundtrip over a tunneled device
         return state_, acc_vec + vec, dt_
 
-    @jax.jit
-    def measure_pass(ctx_, state_: QMCState, est_, key, iters_acc):
+    sweep = jax.jit(_sweep_once)
+
+    def _measure_once(ctx_, state_: QMCState, est_, key, iters_acc):
         # the RNG split happens inside the jit (an eager split per sweep costs a
         # dispatch roundtrip); returns the advanced key
         key, sub = jax.random.split(key)
@@ -293,6 +326,20 @@ def run_simulation(
         n_re, _ = measure_n(upd.estimator)
         Nsq_re, _ = measure_Nsqrd(upd.estimator)
         return upd.estimator, out, iters_acc + upd.iters, 2.0 * n_re, Nsq_re, key
+
+    measure_pass = jax.jit(_measure_once)
+
+    @jax.jit
+    def measured_step(ctx_, state_: QMCState, est_, key, iters_acc, sums, acc_vec, dt_):
+        """ONE executable per measured sweep: update sweep + estimator refresh
+        + measurement pass + device-side bin accumulation. Alternating between
+        separate sweep / measure / accumulate executables costs a per-swap
+        dispatch penalty that dominates the loop on a tunneled device (and
+        three dispatch roundtrips per sweep anywhere)."""
+        state_, acc_vec, _ = _sweep_once(ctx_, state_, acc_vec, dt_)
+        est_, out, iters_acc, n, Nsq, key = _measure_once(ctx_, state_, est_, key, iters_acc)
+        sums = jax.tree_util.tree_map(jnp.add, sums, out)
+        return state_, acc_vec, est_, sums, iters_acc, n, Nsq, key
 
     @jax.jit
     def tune_pass(ctx_, state_: QMCState, est_, key):
@@ -398,6 +445,12 @@ def run_simulation(
     # ------------------------------------------------------------------
     # thermalize
     # ------------------------------------------------------------------
+    # phase wall-clock instrumentation: the FIRST sweep of each phase carries
+    # the trace+compile cost, so whole-simulation scaling studies
+    # (scripts/e2e_scaling.py) read post-compile sweep costs from metadata
+    # instead of cold/warm process pairs
+    t_phase = time.time()
+    n_timed = 0
     while therm_done < cfg.N_therm:
         state, sweep_acc, dt_cur = sweep(ctx, state, sweep_acc, dt_cur)
         if tuner is not None:
@@ -406,38 +459,68 @@ def run_simulation(
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         therm_done += 1
+        _sync(dt_cur)
+        n_timed += 1
+        if n_timed == 1:
+            metadata["t_first_therm_sweep_s"] = round(time.time() - t_phase, 3)
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time():
             maybe_checkpoint()
             fold_kpm_diagnostics(metadata, state.precond)
             return metadata
+    if n_timed:
+        _sync(dt_cur)
+        metadata["t_therm_s"] = round(time.time() - t_phase, 3)
+        metadata["n_therm_timed"] = n_timed
 
     # ------------------------------------------------------------------
     # measure
     # ------------------------------------------------------------------
+    # zeros template for the device-carried bin sums (shape-only trace)
+    sums_struct = jax.eval_shape(
+        lambda c, e, x: make_measurements(c, spec, e, x), ctx, est, state.x
+    )
+    sums0 = jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), sums_struct
+    )
+    if acc.sums is not None:
+        # mid-bin resume: continue the restored partial-bin sums on device
+        sums_dev = jax.tree_util.tree_map(jnp.asarray, acc.sums)
+    else:
+        sums_dev = sums0
+    t_phase = time.time()
+    n_timed = 0
     while meas_done < cfg.N_measurements:
         # dt frozen after thermalization (the tuned value is NOT fed back)
-        state, sweep_acc, _ = sweep(ctx, state, sweep_acc, dt_cur)
-
-        est, out, meas_iters_acc, n, Nsq, key_host = measure_pass(
-            ctx, state, est, key_host, meas_iters_acc
+        state, sweep_acc, est, sums_dev, meas_iters_acc, n, Nsq, key_host = measured_step(
+            ctx, state, est, key_host, meas_iters_acc, sums_dev, sweep_acc, dt_cur
         )
         if tuner is not None:
             tuner = tune_step(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
-        acc.accumulate(out)
+        acc.sums = sums_dev
+        acc.count += 1
         meas_done += 1
+        _sync(meas_iters_acc)
+        n_timed += 1
+        if n_timed == 1:
+            metadata["t_first_measured_sweep_s"] = round(time.time() - t_phase, 3)
         if meas_done % bin_size == 0:
             bin_index = meas_done // bin_size - 1
             write_measurement_bin(sim_info, bin_index, acc.finalize_bin(), spec, dtau=cfg.dtau)
+            sums_dev = sums0
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time() and meas_done < cfg.N_measurements:
             maybe_checkpoint()
             fold_kpm_diagnostics(metadata, state.precond)
             return metadata
+    if n_timed:
+        _sync(meas_iters_acc)
+        metadata["t_measure_s"] = round(time.time() - t_phase, 3)
+        metadata["n_measure_timed"] = n_timed
 
     # ------------------------------------------------------------------
     # finalize
@@ -459,9 +542,12 @@ def run_simulation(
 
         save_density_tuning_profile(sim_info, tuning_history)
 
+    _t = _mark("loops-done", start_time)
     merge_bins(sim_info)
+    _t = _mark("merge_bins", _t)
     save_simulation_info(sim_info, metadata)
     process_measurements(sim_info.datafolder, n_bins=cfg.N_bins, spec=spec)
+    _t = _mark("process_measurements", _t)
     delete_checkpoints(sim_info.datafolder, sim_info.pID)
     return metadata
 
@@ -662,6 +748,28 @@ def _run_multiwalker(
         metadata_fallback["n"] += pc.fallback_sweeps - before
         return s, acc_vec, dt_
 
+    def run_measured(s, mus, acc_vec, dt_, key, iters_acc, msums):
+        """Measured-sweep twin of run_sweep: same fallback-controller choice,
+        fused sweep+measure executable (dt discarded — frozen)."""
+        if not pc.enabled:
+            use_shared = pc.mode == "shared"
+            if not use_shared:
+                metadata_fallback["n"] += 1
+            fn = measured_shared if use_shared else measured_perwalker
+            s, acc_vec, _, key, iters_acc, msums, n_w, N2_w = fn(
+                s, mus, acc_vec, dt_, key, iters_acc, msums
+            )
+            return s, acc_vec, key, iters_acc, msums, n_w, N2_w
+        use_shared = pc.choose()
+        fn = measured_shared if use_shared else measured_perwalker
+        before = pc.fallback_sweeps
+        s, acc_vec, it_dev, key, iters_acc, msums, n_w, N2_w = fn(
+            s, mus, acc_vec, dt_, key, iters_acc, msums
+        )
+        pc.record(it_dev, use_shared)
+        metadata_fallback["n"] += pc.fallback_sweeps - before
+        return s, acc_vec, key, iters_acc, msums, n_w, N2_w
+
     def _refresh_est(s1, key, mu):
         c = with_mu(ctx, mu)
         fdm = make_fdm(c, s1.x)
@@ -701,6 +809,34 @@ def _run_multiwalker(
         iters, n_w, N2_w = jax.vmap(one)(s, keys, mus)
         return n_w, N2_w, key
 
+    def _measured_body(s, mus, acc_vec, dt_, key, iters_acc, msums, shared):
+        """ONE executable per measured sweep: update sweep + per-walker
+        estimator refresh + measurement pass + device-side bin accumulation
+        (W-axis sums). Alternating separate sweep / measure / per-walker
+        accumulate executables costs a per-swap dispatch penalty that
+        dominates the loop on a tunneled device (and 2 + W dispatch
+        roundtrips per sweep anywhere). dt is returned updated but the
+        measured loop discards it (frozen after thermalization)."""
+        s, acc_vec, dt2, it_dev = _sweep_body(s, mus, acc_vec, dt_, shared)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, W)
+
+        def one(s1, k, mu):
+            c, upd, n, N2 = _refresh_est(s1, k, mu)
+            out = make_measurements(c, spec, upd.estimator, s1.x)
+            return out, upd.iters, n, N2
+
+        out, iters, n_w, N2_w = jax.vmap(one)(s, keys, mus)
+        msums = jax.tree_util.tree_map(jnp.add, msums, out)
+        return s, acc_vec, it_dev, key, iters_acc + jnp.mean(iters), msums, n_w, N2_w
+
+    measured_shared = jax.jit(
+        lambda s, mus, a, d, k, ia, ms: _measured_body(s, mus, a, d, k, ia, ms, True)
+    )
+    measured_perwalker = jax.jit(
+        lambda s, mus, a, d, k, ia, ms: _measured_body(s, mus, a, d, k, ia, ms, False)
+    )
+
     metadata: Dict = {
         "n_walkers": W,
         "N_therm": cfg.N_therm,
@@ -717,6 +853,32 @@ def _run_multiwalker(
         "measurement_iters": 0.0,
     }
     accs = {w: MeasurementAccumulator(spec) for w in owned}
+    # device-carried W-axis bin sums for the fused measured step (accs keep the
+    # checkpoint format: per-walker rows are sliced out at checkpoint/bin time)
+    msums = None
+    mcount = 0
+
+    def _out_struct():
+        def one(s1, k, mu):
+            c, upd, n, N2 = _refresh_est(s1, k, mu)
+            return make_measurements(c, spec, upd.estimator, s1.x)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), W)
+        return jax.eval_shape(
+            lambda s, ks, mus: jax.vmap(one)(s, ks, mus), states, keys, mu_walkers
+        )
+
+    def _zeros_struct(struct):
+        if multihost:
+            n_local = len(owned)
+            return jax.tree_util.tree_map(
+                lambda sd: global_walker_array(
+                    np.zeros((n_local,) + sd.shape[1:], sd.dtype), mesh, W
+                ),
+                struct,
+            )
+        return jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), struct)
+
     bin_size = max(cfg.N_measurements // cfg.N_bins, 1)
     therm_done = 0
     meas_done = 0
@@ -772,6 +934,19 @@ def _run_multiwalker(
                 for w, a in zip(owned, s["accs"]):
                     accs[w].sums = a["sums"]
                     accs[w].count = int(a["count"])
+                if accs[owned[0]].sums is not None:
+                    # mid-bin resume: reassemble the device W-axis sums from
+                    # the per-walker checkpoint rows
+                    mcount = accs[owned[0]].count
+                    rows = [accs[w].sums for w in owned]
+                    if multihost:
+                        msums = jax.tree_util.tree_map(
+                            lambda *rs: global_walker_array(np.stack(rs), mesh, W), *rows
+                        )
+                    else:
+                        msums = jax.tree_util.tree_map(
+                            lambda *rs: jnp.asarray(np.stack(rs)), *rows
+                        )
 
     def to_local(a):
         """Checkpoint helper: owned walker block (multihost) or the array itself."""
@@ -801,7 +976,22 @@ def _run_multiwalker(
                 "weight": to_local(tuners.weight),
             },
             "tuning_history_vecs": [tuple(t) for t in tuning_history_vecs],
-            "accs": [{"sums": accs[w].sums, "count": accs[w].count} for w in owned],
+            # per-walker partial-bin sums: lazy device slices on a single host
+            # (write_checkpoint materializes them only when the freq gate
+            # opens); multihost must read its addressable shard rows eagerly
+            "accs": [
+                {
+                    "sums": None
+                    if not mcount
+                    else (
+                        walker_row_tree(msums, w)
+                        if multihost
+                        else jax.tree_util.tree_map(lambda a: a[w], msums)
+                    ),
+                    "count": mcount,
+                }
+                for w in owned
+            ],
             "precond_controller": pc.state_dict(),
         }
         cp_stamp = write_checkpoint(
@@ -818,6 +1008,11 @@ def _run_multiwalker(
     # ------------------------------------------------------------------
     # thermalize
     # ------------------------------------------------------------------
+    # phase wall-clock instrumentation (see the single-walker path): first
+    # sweep of each phase carries trace+compile; scripts/e2e_scaling.py reads
+    # post-compile sweep costs from these metadata keys
+    t_phase = time.time()
+    n_timed = 0
     while therm_done < cfg.N_therm:
         states, sweep_acc, dt_cur = run_sweep(states, mu_walkers, sweep_acc, dt_cur)
         if tuners is not None:
@@ -827,46 +1022,68 @@ def _run_multiwalker(
             # ONE lazy (W,)-vector triple per sweep; split per walker at save time
             tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
         therm_done += 1
+        _sync(dt_cur)
+        n_timed += 1
+        if n_timed == 1:
+            metadata["t_first_therm_sweep_s"] = round(time.time() - t_phase, 3)
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time():
             maybe_checkpoint()
             fold_kpm_diagnostics(metadata, states.precond)
             return metadata
+    if n_timed:
+        _sync(dt_cur)
+        metadata["t_therm_s"] = round(time.time() - t_phase, 3)
+        metadata["n_therm_timed"] = n_timed
 
     # ------------------------------------------------------------------
     # measure
     # ------------------------------------------------------------------
+    msums0 = _zeros_struct(_out_struct())
+    if msums is None:
+        msums = msums0
+    t_phase = time.time()
+    n_timed = 0
     while meas_done < cfg.N_measurements:
-        # dt frozen after thermalization (the tuned value is NOT fed back)
-        states, sweep_acc, _ = run_sweep(states, mu_walkers, sweep_acc, dt_cur)
-        out, meas_iters_acc, n_w, N2_w, key = measure(states, key, mu_walkers, meas_iters_acc)
+        # dt frozen after thermalization (the tuned value is NOT fed back);
+        # sweep + measure + accumulate run as ONE fused executable
+        states, sweep_acc, key, meas_iters_acc, msums, n_w, N2_w = run_measured(
+            states, mu_walkers, sweep_acc, dt_cur, key, meas_iters_acc, msums
+        )
+        mcount += 1
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
             tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
-        if multihost:
-            # a cross-host jitted slice is not executable from one process:
-            # read this host's addressable shards and accumulate on host
-            for w in owned:
-                accs[w].accumulate(walker_row_tree(out, w))
-        else:
-            for w in owned:
-                # ONE jitted dispatch per walker (dynamic-slice + add fused)
-                accs[w].accumulate_walker(out, w)
         meas_done += 1
+        _sync(meas_iters_acc)
+        n_timed += 1
+        if n_timed == 1:
+            metadata["t_first_measured_sweep_s"] = round(time.time() - t_phase, 3)
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
             for w in owned:
-                write_measurement_bin(
-                    sim_info.with_pID(w), b, accs[w].finalize_bin(), spec, dtau=cfg.dtau
+                # per-walker bin average from this host's addressable rows
+                row = walker_row_tree(msums, w)
+                avg = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a) / mcount, row
                 )
+                write_measurement_bin(
+                    sim_info.with_pID(w), b, avg, spec, dtau=cfg.dtau
+                )
+            msums = msums0
+            mcount = 0
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time() and meas_done < cfg.N_measurements:
             maybe_checkpoint()
             fold_kpm_diagnostics(metadata, states.precond)
             return metadata
+    if n_timed:
+        _sync(meas_iters_acc)
+        metadata["t_measure_s"] = round(time.time() - t_phase, 3)
+        metadata["n_measure_timed"] = n_timed
 
     # ------------------------------------------------------------------
     # finalize
