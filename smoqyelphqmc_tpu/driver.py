@@ -98,6 +98,9 @@ class SimulationConfig:
     precond_retry_every: int = 32
 
 
+_SYNC_ENABLED: Optional[bool] = None
+
+
 def _sync(x) -> None:
     """Force ONE tiny device->host readback (an execution barrier).
 
@@ -105,13 +108,26 @@ def _sync(x) -> None:
     backends: measured on the axon tunnel, it returns immediately while
     executions defer — and a deferred queue drains catastrophically slower
     (~180 s per queued production sweep) than stepping synchronously
-    (~0.2 s per sweep, one extra RTT for the 8-byte scalar pull). Every
-    driver loop therefore pulls one scalar per iteration. SMOQY_SYNC_EVERY=0
-    disables (e.g. for locally-attached devices where the async pipeline is
-    trustworthy and the RTT saving matters)."""
+    (~0.2 s per sweep, one extra RTT for the 8-byte scalar pull). The driver
+    loop therefore pulls one scalar per iteration on tunneled backends.
+
+    Default is auto-detected from the backend name: locally-attached
+    platforms (cpu/tpu/gpu/cuda/rocm) honor block_until_ready, so the async
+    dispatch pipeline is kept there; anything else (e.g. the experimental
+    'axon' proxy) gets the per-sweep barrier. SMOQY_SYNC_EVERY=1 forces it
+    on, SMOQY_SYNC_EVERY=0 forces it off."""
     import os
 
-    if os.environ.get("SMOQY_SYNC_EVERY", "1") != "0":
+    global _SYNC_ENABLED
+    if _SYNC_ENABLED is None:
+        env = os.environ.get("SMOQY_SYNC_EVERY")
+        if env is not None:
+            _SYNC_ENABLED = env != "0"
+        else:
+            _SYNC_ENABLED = jax.default_backend() not in (
+                "cpu", "tpu", "gpu", "cuda", "rocm",
+            )
+    if _SYNC_ENABLED:
         np.asarray(x)
 
 
@@ -407,6 +423,12 @@ def run_simulation(
 
     def maybe_checkpoint():
         nonlocal cp_stamp
+        # frequency gate FIRST (same test write_checkpoint applies) so a
+        # closed gate costs nothing per sweep
+        if cp_stamp is not None and (
+            time.time() - cp_stamp
+        ) < cfg.checkpoint_freq_hours * 3600.0:
+            return
         sync_metadata()
         tree = {
             "x": state.x,
@@ -954,6 +976,14 @@ def _run_multiwalker(
 
     def maybe_checkpoint():
         nonlocal cp_stamp
+        # frequency gate FIRST (same test write_checkpoint applies): building
+        # the tree below eagerly reads each owned walker's measurement-sum
+        # shard to host — a per-sweep device->host transfer that would defeat
+        # the fused-executable dispatch pipeline when the gate is closed
+        if cp_stamp is not None and (
+            time.time() - cp_stamp
+        ) < cfg.checkpoint_freq_hours * 3600.0:
+            return
         sync_metadata()
         tree = {
             "x": to_local(states.x),
@@ -1063,9 +1093,22 @@ def _run_multiwalker(
             metadata["t_first_measured_sweep_s"] = round(time.time() - t_phase, 3)
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
+            # single host: materialize each (W, ...) leaf ONCE and slice rows
+            # from the host copy — walker_row per walker would transfer the
+            # full measurement-sums tree W times per bin. Multihost keeps the
+            # addressable-shard row reads (zero-communication ownership).
+            host = (
+                None
+                if multihost
+                else jax.tree_util.tree_map(np.asarray, msums)
+            )
             for w in owned:
                 # per-walker bin average from this host's addressable rows
-                row = walker_row_tree(msums, w)
+                row = (
+                    walker_row_tree(msums, w)
+                    if multihost
+                    else jax.tree_util.tree_map(lambda a: a[w], host)
+                )
                 avg = jax.tree_util.tree_map(
                     lambda a: np.asarray(a) / mcount, row
                 )

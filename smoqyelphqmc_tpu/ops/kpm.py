@@ -717,25 +717,27 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
         bbar32 = jax.tree_util.tree_map(lambda a: a.astype(dt), pre.bbar)
 
         # fused VMEM-resident recurrence (ops/pallas_fused.py:_kpm_mf_kernel)
-        # for real-hopping factorizations: the XLA scan's C sequential
+        # covering ALL factorizations: the XLA scan's C sequential
         # host-scheduled steps are dispatch-latency-bound (~24 ms/apply at
         # N = 1152, scripts/scaling_bench.py); in-kernel while loops over
         # order-sorted frequency blocks cut the apply to ~the checkerboard
         # FLOPs. The asymmetric factorization runs its two conjugate passes
         # inside ONE kernel (complex coefficients mix the (re, im) rows of a
-        # chunk-paired channel layout). Trace-time static gate;
+        # chunk-paired channel layout); COMPLEX-HOPPING models run the
+        # channel-mixing checkerboard inside the same pair layout
+        # (_kpm_mf_cplx_kernel — the reference is uniformly matrix-free here,
+        # KPMPreconditioner.jl:417-550). Trace-time static gate;
         # SMOQY_FUSED_KPM=0/interpret overrides.
-        fused_plan = None
-        if not pre.complex_pair:
-            from .pallas_fused import build_kpm_mf_plan, fused_kpm_mode
+        from .pallas_fused import build_kpm_mf_plan, fused_kpm_mode
 
-            mode = fused_kpm_mode()
-            if mode is not None:
-                fused_plan = build_kpm_mf_plan(
-                    pre.caps, pre.bbar.cb.partner, pre.Ltau, pre.n_sites,
-                    pre.coefs_re[0].shape[1], interpret=(mode == "interpret"),
-                    symmetric=pre.symmetric,
-                )
+        fused_plan = None
+        mode = fused_kpm_mode()
+        if mode is not None:
+            fused_plan = build_kpm_mf_plan(
+                pre.caps, pre.bbar.cb.partner, pre.Ltau, pre.n_sites,
+                pre.coefs_re[0].shape[1], interpret=(mode == "interpret"),
+                symmetric=pre.symmetric, complex_hops=pre.complex_pair,
+            )
 
         def live_orders():
             # live per-frequency orders (same formula as kpm_update —
@@ -756,7 +758,18 @@ def kpm_apply(pre: KPMPreconditioner, r: jnp.ndarray) -> jnp.ndarray:
                 # recurrence on (..., 2, F, N) pairs
                 ure, uim = pre.fft.forward(r[..., 0, :, :], r[..., 1, :, :])
                 w = jnp.stack([ure, uim], axis=-3)
-                if pre.symmetric:
+                if fused_plan is not None:
+                    from .pallas_fused import kpm_mf_cplx_apply
+
+                    center = ((pre.hi + pre.lo) * 0.5).astype(dt)
+                    inv_half = (
+                        1.0 / jnp.maximum((pre.hi - pre.lo) * 0.5, 1e-12)
+                    ).astype(dt)
+                    w = kpm_mf_cplx_apply(
+                        fused_plan, bbar32.cb.C, bbar32.cb.S, bbar32.cb.S_im,
+                        bbar32.expV, center, inv_half, w, cre, cim, live_orders(),
+                    )
+                elif pre.symmetric:
                     w = _mf_cheb_pair(pre, w, cre, cim, bbar32)
                 else:
                     w = _mf_cheb_pair(pre, w, cre, -cim, bbar32)

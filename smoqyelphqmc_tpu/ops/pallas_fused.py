@@ -29,10 +29,11 @@ TPU mapping (the load-bearing choices):
 
 Scope: float32, real hoppings — exactly the production force-solve path
 (driver default force_dtype="float32") and the inner loop of mixed-precision
-CG. The whole-solve PCG kernel covers BOTH factorizations (sym B = CB^T D CB
-and asym B = D CB with B^T = CB^T D); the standalone matvec kernels remain
-symmetric-only. f64 action solves and complex-hopping models use the XLA path
-(Mosaic has no f64 compute; complex models carry channel mixing).
+CG. The whole-solve PCG kernel AND the standalone matvec kernels cover BOTH
+factorizations (sym B = CB^T D CB and asym B = D CB with B^T = CB^T D). f64
+action solves use the XLA path (Mosaic has no f64 compute); complex-hopping
+models get the channel-mixing fused KPM apply (_kpm_mf_cplx_kernel) while
+their matvecs ride XLA.
 
 Reference for the operation semantics: /root/reference/src/FermionDetMatrix.jl:329-340
 (mul_MtM!), :385-427 (mul_M!), :484-525 (mul_Mt!), and
@@ -117,9 +118,12 @@ def _permute_exact(u2d, PTc_bf16):
     return mm(hi) + mm(mid) + mm(lo)
 
 
-def _mtm_kernel_roll(v_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *, shifts):
+def _mtm_kernel_roll(v_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *,
+                     shifts, symmetric=True):
     """Roll-class variant. Sk_ref holds per-(color, class) masked S planes,
-    flattened over the leading axis in color-major order."""
+    flattened over the leading axis in color-major order. symmetric=False
+    runs the ASYMMETRIC factorization B = D CB (B^T = CB^T D,
+    FermionDetMatrix.jl:329-340 asym branch)."""
     v = v_ref[:]  # (Bc, Ltau, N)
     N = v.shape[-1]
     Ltau = v.shape[-2]
@@ -137,19 +141,29 @@ def _mtm_kernel_roll(v_ref, C_ref, Sk_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref
         return u
 
     def apply_B(u):
-        u = cb(u, transpose=True)
+        if symmetric:
+            u = cb(u, transpose=True)
+            u = expV_ref[:] * u
+            return cb(u, transpose=False)
+        u = cb(u, transpose=False)
+        return expV_ref[:] * u
+
+    def apply_Bt(u):
+        if symmetric:
+            return apply_B(u)  # sym: B^T = B
         u = expV_ref[:] * u
-        return cb(u, transpose=False)
+        return cb(u, transpose=True)
 
     u = pltpu.roll(v, jnp.int32(1), 1)
     u = apply_B(u)
     m = v + sgn1_ref[:] * u
-    w = apply_B(m)  # sym: B^T = B
+    w = apply_Bt(m)
     w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)  # roll by -1 (shift must be >= 0)
     out_ref[:] = m + sgnL_ref[:] * w
 
 
-def _mtm_kernel_mm(v_ref, C_ref, S_ref, PT_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *, n_colors):
+def _mtm_kernel_mm(v_ref, C_ref, S_ref, PT_ref, expV_ref, sgn1_ref, sgnL_ref, out_ref, *,
+                   n_colors, symmetric=True):
     """Permutation-matmul fallback variant."""
     v = v_ref[:]  # (Bc, Ltau, N)
     Bc, Ltau, N = v.shape
@@ -162,14 +176,23 @@ def _mtm_kernel_mm(v_ref, C_ref, S_ref, PT_ref, expV_ref, sgn1_ref, sgnL_ref, ou
         return u
 
     def apply_B(u):
-        u = cb(u, transpose=True)
+        if symmetric:
+            u = cb(u, transpose=True)
+            u = expV_ref[:] * u
+            return cb(u, transpose=False)
+        u = cb(u, transpose=False)
+        return expV_ref[:] * u
+
+    def apply_Bt(u):
+        if symmetric:
+            return apply_B(u)
         u = expV_ref[:] * u
-        return cb(u, transpose=False)
+        return cb(u, transpose=True)
 
     u = pltpu.roll(v, jnp.int32(1), 1)
     u = apply_B(u)
     m = v + sgn1_ref[:] * u
-    w = apply_B(m)
+    w = apply_Bt(m)
     w = pltpu.roll(w, jnp.int32(Ltau - 1), 1)
     out_ref[:] = m + sgnL_ref[:] * w
 
@@ -220,9 +243,10 @@ def _fold_masks(S, masks, n_colors):
     )[:, None]
 
 
-def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bool):
+def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bool,
+                   symmetric: bool = True):
     B, Ltau, N = v.shape
-    kernel = functools.partial(_mtm_kernel_roll, shifts=shifts)
+    kernel = functools.partial(_mtm_kernel_roll, shifts=shifts, symmetric=symmetric)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ltau, N), jnp.float32),
@@ -240,9 +264,10 @@ def _mtm_roll_call(v, C, Sk, expV, sgn1, sgnL, shifts, chunk: int, interpret: bo
     )(v, C, Sk, expV, sgn1, sgnL)
 
 
-def _mtm_mm_call(v, C, S, PT, expV, sgn1, sgnL, n_colors: int, chunk: int, interpret: bool):
+def _mtm_mm_call(v, C, S, PT, expV, sgn1, sgnL, n_colors: int, chunk: int, interpret: bool,
+                 symmetric: bool = True):
     B, Ltau, N = v.shape
-    kernel = functools.partial(_mtm_kernel_mm, n_colors=n_colors)
+    kernel = functools.partial(_mtm_kernel_mm, n_colors=n_colors, symmetric=symmetric)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ltau, N), jnp.float32),
@@ -273,12 +298,13 @@ class FusedMtM:
     (..., Ltau, N) float32 operands (leading axes flattened into batch chunks).
     mode is 'roll' (lane-roll classes) or 'matmul' (exact permutation matmul)."""
 
-    def __init__(self, mode, arrays, static, interpret, max_chunk=4):
+    def __init__(self, mode, arrays, static, interpret, max_chunk=4, symmetric=True):
         self.mode = mode
         self.arrays = arrays
         self.static = static
         self.interpret = interpret
         self.max_chunk = max_chunk
+        self.symmetric = symmetric
 
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
         shape = v.shape
@@ -290,11 +316,13 @@ class FusedMtM:
             chunk *= 2
         if self.mode == "roll":
             out = _mtm_roll_call(
-                vb, *self.arrays, shifts=self.static, chunk=chunk, interpret=self.interpret
+                vb, *self.arrays, shifts=self.static, chunk=chunk,
+                interpret=self.interpret, symmetric=self.symmetric,
             )
         else:
             out = _mtm_mm_call(
-                vb, *self.arrays, n_colors=self.static, chunk=chunk, interpret=self.interpret
+                vb, *self.arrays, n_colors=self.static, chunk=chunk,
+                interpret=self.interpret, symmetric=self.symmetric,
             )
         return out.reshape(shape)
 
@@ -302,9 +330,9 @@ class FusedMtM:
 def build_fused_mtm(
     fdm, interpret: Optional[bool] = None, max_chunk: int = 4, max_classes: int = 8
 ) -> Optional[FusedMtM]:
-    """FusedMtM for a symmetric real-hopping fermion matrix; None when the
-    kernel does not apply (complex hoppings / asymmetric factorization)."""
-    if not _HAS_PALLAS or fdm.complex_hops or not fdm.symmetric or fdm.cb.n_colors == 0:
+    """FusedMtM for a real-hopping fermion matrix (symmetric OR asymmetric
+    factorization); None when the kernel does not apply (complex hoppings)."""
+    if not _HAS_PALLAS or fdm.complex_hops or fdm.cb.n_colors == 0:
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -327,7 +355,8 @@ def build_fused_mtm(
         if not _fits_vmem(fdm.Ltau, fdm.n_sites, 0, 0, 4, 1, tab):
             return None
         Sk = _fold_masks(S, masks, len(shifts))
-        return FusedMtM("roll", (C, Sk, expV, sgn1, sgnL), shifts, interpret, max_chunk)
+        return FusedMtM("roll", (C, Sk, expV, sgn1, sgnL), shifts, interpret,
+                        max_chunk, symmetric=fdm.symmetric)
     # matmul fallback: the (n_colors, N, N) bf16 permutation matrices join the
     # resident tables (counted via `extra` in f32-equivalent elements)
     pt_extra = (
@@ -341,7 +370,8 @@ def build_fused_mtm(
     if not _fits_vmem(fdm.Ltau, fdm.n_sites, 0, 0, 4, 1, pt_extra):
         return None
     PT = jnp.asarray(partner_onehot(fdm.cb.partner)).astype(jnp.bfloat16)
-    return FusedMtM("matmul", (C, S, PT, expV, sgn1, sgnL), fdm.cb.n_colors, interpret, max_chunk)
+    return FusedMtM("matmul", (C, S, PT, expV, sgn1, sgnL), fdm.cb.n_colors, interpret,
+                    max_chunk, symmetric=fdm.symmetric)
 
 
 def _sign_col(Ltau: int, first: bool) -> jnp.ndarray:
@@ -1274,6 +1304,122 @@ def _kpm_mf_asym_kernel(u_ref, Crow_ref, Skrow_ref, expVih_ref, cih_ref,
     out_ref[:] = cheb_pass(y1, np.float32(1.0))
 
 
+def _kpm_mf_cplx_kernel(u_ref, Crow_ref, Skrow_ref, SkImrow_ref, expVih_ref,
+                        cih_ref, cre_ref, cim_ref, bound_ref, out_ref, *,
+                        shifts, symmetric):
+    """COMPLEX-HOPPING KPM apply for one (pair-chunk, frequency-block).
+
+    u_ref (2, blkF, N) holds the (re, im) rows of ONE complex frequency-space
+    vector. With complex t each hop block is Hermitian and the checkerboard
+    itself MIXES the two rows (ops/checkerboard.py complex branch):
+
+        re' = C re + S re[p] - S_im im[p],   im' = C im + S im[p] + S_im re[p]
+
+    realized as lane rolls with per-class masked S and S_im planes. The
+    adjoint is the same factors in reversed color order (Hermitian blocks).
+    Symmetric factorization: Bbar = CB^H expV CB is Hermitian, coefficients
+    are REAL, one pass, no i-rotation. Asymmetric: two conjugate passes with
+    the complex coefficient acting through the in-chunk row rotation
+    i (re, im) = (-im, re), exactly _kpm_mf_asym_kernel's structure — here the
+    field's complex structure and the operator's coincide (the XLA analogue is
+    ops/kpm.py:_mf_cheb_pair). Reference behavior contract:
+    KPMPreconditioner.jl:288-352 (ldiv!), :417-550 (matrix-free expansion)."""
+    N = u_ref.shape[-1]
+    n_colors = len(shifts)
+    offsets = np.cumsum([0] + [len(s) for s in shifts])
+
+    def cb(t, transpose):
+        order = reversed(range(n_colors)) if transpose else range(n_colors)
+        for c in order:
+            re, im = t[0:1], t[1:2]
+            acc_re = Crow_ref[c] * re
+            acc_im = Crow_ref[c] * im
+            for k, s in enumerate(shifts[c]):
+                rp = pltpu.roll(re, jnp.int32((N - s) % N), 2) if s else re
+                ip = pltpu.roll(im, jnp.int32((N - s) % N), 2) if s else im
+                sk = Skrow_ref[int(offsets[c]) + k]
+                ski = SkImrow_ref[int(offsets[c]) + k]
+                acc_re = acc_re + sk * rp - ski * ip
+                acc_im = acc_im + sk * ip + ski * rp
+            t = jnp.concatenate([acc_re, acc_im], axis=0)
+        return t
+
+    def applyBp(t):
+        if symmetric:
+            w = cb(t, transpose=True)
+            w = expVih_ref[:] * w
+            w = cb(w, transpose=False)
+        else:
+            w = cb(t, transpose=False)
+            w = expVih_ref[:] * w
+        return w - cih_ref[:] * t
+
+    cre = cre_ref[:]  # (blkF, C_pad)
+    cim = cim_ref[:]
+    C_pad = cre.shape[-1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, C_pad), 1)
+
+    def coef_at(tab, it):
+        m = (kcol == it).astype(jnp.float32)
+        return jnp.sum(tab * m, axis=-1, keepdims=True)  # (blkF, 1)
+
+    bound = bound_ref[pl.program_id(1), 0].astype(jnp.int32)
+
+    def rot(t):  # i * (re, im) = (-im, re) across the chunk rows
+        return jnp.concatenate([-t[1:2], t[0:1]], axis=0)
+
+    def cheb_pass(u, sgn_im):
+        y = coef_at(cre, jnp.int32(0)) * u
+        if not symmetric:
+            y = y + sgn_im * coef_at(cim, jnp.int32(0)) * rot(u)
+        t1 = applyBp(u)
+
+        def cond(carry):
+            return carry[3] < bound
+
+        def body(carry):
+            t_prev, t_cur, y, it = carry
+            y = y + coef_at(cre, it) * t_cur
+            if not symmetric:
+                y = y + sgn_im * coef_at(cim, it) * rot(t_cur)
+            t_next = 2.0 * applyBp(t_cur) - t_prev
+            return (t_cur, t_next, y, it + np.int32(1))
+
+        _, _, y, _ = jax.lax.while_loop(cond, body, (u, t1, y, jnp.int32(1)))
+        return y
+
+    if symmetric:
+        # Hermitian Bbar: real coefficients, single pass
+        out_ref[:] = cheb_pass(u_ref[:], np.float32(0.0))
+    else:
+        y1 = cheb_pass(u_ref[:], np.float32(-1.0))
+        out_ref[:] = cheb_pass(y1, np.float32(1.0))
+
+
+def _kpm_mf_cplx_call(u, Crow, Skrow, SkImrow, expVih, cih, cre, cim, bounds,
+                      shifts, blkF: int, symmetric: bool, interpret: bool):
+    R, F, N = u.shape  # R = 2 B interleaved (re, im) pairs
+    kernel = functools.partial(_kpm_mf_cplx_kernel, shifts=shifts, symmetric=symmetric)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, F, N), jnp.float32),
+        grid=(R // 2, F // blkF),
+        in_specs=[
+            pl.BlockSpec((2, blkF, N), lambda r, b: (r, b, _Z)),
+            pl.BlockSpec(Crow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec(Skrow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec(SkImrow.shape, lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((1, N), lambda r, b: (_Z, _Z)),
+            pl.BlockSpec((blkF, cre.shape[-1]), lambda r, b: (b, _Z)),
+            pl.BlockSpec((blkF, cim.shape[-1]), lambda r, b: (b, _Z)),
+            pl.BlockSpec(bounds.shape, lambda r, b: (_Z, _Z)),
+        ],
+        out_specs=pl.BlockSpec((2, blkF, N), lambda r, b: (r, b, _Z)),
+        interpret=interpret,
+    )(u, Crow, Skrow, SkImrow, expVih, cih, cre, cim, bounds)
+
+
 def _kpm_mf_asym_call(u, Crow, Skrow, expVih, cih, cre, cim, bounds,
                       shifts, blkF: int, interpret: bool):
     R, F, N = u.shape  # R = 2 B interleaved (re, im) pairs
@@ -1325,7 +1471,7 @@ class KPMMFPlan:
     roll-class decomposition."""
 
     def __init__(self, perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret,
-                 symmetric=True):
+                 symmetric=True, complex_hops=False):
         self.perm_sort = perm_sort
         self.inv_perm_sort = inv_perm_sort
         self.shifts = shifts
@@ -1334,6 +1480,7 @@ class KPMMFPlan:
         self.cR = cR
         self.interpret = interpret
         self.symmetric = symmetric
+        self.complex_hops = complex_hops
 
 
 def fused_kpm_mode() -> Optional[str]:
@@ -1355,7 +1502,8 @@ def fused_kpm_mode() -> Optional[str]:
 
 def build_kpm_mf_plan(caps: np.ndarray, partner: np.ndarray, Ltau: int, N: int,
                       C_pad: int, interpret: bool,
-                      symmetric: bool = True) -> Optional[KPMMFPlan]:
+                      symmetric: bool = True,
+                      complex_hops: bool = False) -> Optional[KPMMFPlan]:
     """Static plan, or None when the lattice has no small roll-class
     decomposition or the working set cannot fit VMEM at any block size."""
     if not _HAS_PALLAS:
@@ -1370,25 +1518,28 @@ def build_kpm_mf_plan(caps: np.ndarray, partner: np.ndarray, Ltau: int, N: int,
     cR = 2
     # live planes per grid step: u + out (double-buffered: 4) + while-carry
     # t_prev/t_cur/y (3) + applyBp temp (1); tables are (N,) rows. The asym
-    # kernel additionally holds the pass-1 output + a second coefficient
-    # table across its two in-kernel passes.
-    n_state = 8 if symmetric else 10
-    n_coef_tabs = 1 if symmetric else 2
+    # and complex kernels additionally hold the pass-1 output + a second
+    # coefficient table across their two in-kernel passes (the complex-sym
+    # kernel is one pass but mixes rows, costing one extra live temp).
+    two_pass = (not symmetric) or complex_hops
+    n_state = 8 if not two_pass else 10
+    n_coef_tabs = 1 if (symmetric and not complex_hops) else 2
+    # complex hoppings ship an S_im plane per roll class alongside S
+    n_tab_rows = len(shifts) + n_cls_total * (2 if complex_hops else 1) + 2
     blkF = 32
     while blkF > 1 and (
         Ltau % blkF != 0
         or not _fits_vmem(blkF, N, 0, 0, n_state, cR,
-                          (len(shifts) + n_cls_total + 2) * N
-                          + n_coef_tabs * blkF * C_pad)
+                          n_tab_rows * N + n_coef_tabs * blkF * C_pad)
     ):
         blkF //= 2
     if Ltau % blkF != 0 or not _fits_vmem(
         blkF, N, 0, 0, n_state, cR,
-        (len(shifts) + n_cls_total + 2) * N + n_coef_tabs * blkF * C_pad,
+        n_tab_rows * N + n_coef_tabs * blkF * C_pad,
     ):
         return None
     return KPMMFPlan(perm_sort, inv_perm_sort, shifts, masks, blkF, cR, interpret,
-                     symmetric=symmetric)
+                     symmetric=symmetric, complex_hops=complex_hops)
 
 
 def kpm_mf_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, expV, center, inv_half,
@@ -1453,3 +1604,48 @@ def kpm_mf_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, expV, center, inv_half,
     y = jnp.take(y_s, jnp.asarray(plan.inv_perm_sort), axis=-2)[:R]
     y = y.reshape((2,) + lead + (F, N))
     return y[0], y[1]
+
+
+def kpm_mf_cplx_apply(plan: KPMMFPlan, bbar_cb_C, bbar_cb_S, bbar_cb_S_im, expV,
+                      center, inv_half, w, cre, cim, orders):
+    """Fused KPM apply for COMPLEX-HOPPING factorizations.
+
+    w is (..., 2, F, N): the (re, im) channel pair of the complex
+    frequency-space field at axis -3 (the layout the channel-mixing
+    checkerboard expects, ops/checkerboard.py). Pairs are interleaved as
+    adjacent row chunks so each grid step holds one complex vector; the kernel
+    runs the symmetric single pass or the asymmetric two conjugate passes
+    internally. All operands traced (see kpm_mf_apply)."""
+    f32 = jnp.float32
+    lead = w.shape[:-3]
+    F, N = w.shape[-2], w.shape[-1]
+    perm = jnp.asarray(plan.perm_sort)
+    cre_s = jnp.take(cre.astype(f32), perm, axis=0)
+    cim_s = jnp.take(cim.astype(f32), perm, axis=0)
+    n_fb = F // plan.blkF
+    bounds = (
+        jnp.take(orders, perm)
+        .reshape(n_fb, plan.blkF)
+        .max(axis=1)
+        .astype(f32)[:, None]
+    )
+    n_colors = len(plan.shifts)
+    Crow = bbar_cb_C.astype(f32)
+    Skrow = jnp.concatenate(
+        [bbar_cb_S[c].astype(f32) * jnp.asarray(plan.masks[c]) for c in range(n_colors)]
+    )
+    SkImrow = jnp.concatenate(
+        [bbar_cb_S_im[c].astype(f32) * jnp.asarray(plan.masks[c]) for c in range(n_colors)]
+    )
+    expVih = (expV.astype(f32) * inv_half.astype(f32))[None, :]
+    cih = jnp.broadcast_to((center * inv_half).astype(f32), (1, N))
+
+    u = w.reshape((-1, 2, F, N)).astype(f32).reshape((-1, F, N))  # interleaved pairs
+    u_s = jnp.take(u, perm, axis=-2)
+    y_s = _kpm_mf_cplx_call(
+        u_s, Crow, Skrow, SkImrow, expVih, cih, cre_s, cim_s, bounds,
+        shifts=plan.shifts, blkF=plan.blkF, symmetric=plan.symmetric,
+        interpret=plan.interpret,
+    )
+    y = jnp.take(y_s, jnp.asarray(plan.inv_perm_sort), axis=-2)
+    return y.reshape(lead + (2, F, N))

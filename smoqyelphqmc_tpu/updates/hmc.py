@@ -216,11 +216,16 @@ def hmc_update(
     pre0 = precond if carry_precond else jnp.asarray(0, jnp.int32)
 
     def kick_with(x, pw, pre_c, hist, iters_sum, ok,
-                  dt_kick, cs, k_pre):
+                  dt_kick, cs, k_pre, refresh=None):
+        # refresh defaults to the params flag; omelyan kick B overrides it to
+        # False so refresh_precond_every_step refreshes once per STEP (kick A),
+        # not twice — matching the leapfrog path's one-refresh-per-solve-pair
+        # cadence and keeping the refresh RNG stream per-step
         pre = pre_c if carry_precond else precond_closed
         pw, pre, hist, iters_sum, ok = force_kick(
             x, pw, pre, hist, iters_sum, ok,
-            dt_kick, cs, k_pre, params.refresh_precond_every_step,
+            dt_kick, cs, k_pre,
+            params.refresh_precond_every_step if refresh is None else refresh,
         )
         pre_c = pre if carry_precond else pre_c
         return pw, pre_c, hist, iters_sum, ok
@@ -282,10 +287,11 @@ def hmc_update(
                 dt / 2.0, (ca,), jax.random.fold_in(k_pre0, t + 1),
             )
             x, xw, pw = drift(xw, pw, rot_mid)
-            # kick B (the (2t+1)-th solve)
+            # kick B (the (2t+1)-th solve): never refresh here (see kick_with)
             pw, pre_c, hist, iters_sum, ok = kick_with(
                 x, pw, pre_c, hist, iters_sum, ok,
                 dt / 2.0, (cb,), jax.random.fold_in(k_pre0, -(t + 1)),
+                refresh=False,
             )
             return x, xw, pw, pre_c, hist, iters_sum, ok
 

@@ -24,11 +24,11 @@ from smoqyelphqmc_tpu.ops.spectral_precond import build_spectral
 from _models import chain_model, honeycomb_model
 
 
-def _fdm(model_fn, **kw):
+def _fdm(model_fn, symmetric=True, **kw):
     geo, tbm, tbp, elph_model, elph = model_fn(**kw)
     fpi = build_path_integral(tbp, elph)
     structure = build_checkerboard_structure(np.asarray(tbp.neighbor_table), tbp.n_sites)
-    return FermionDetMatrix.from_path_integral(fpi, structure, symmetric=True)
+    return FermionDetMatrix.from_path_integral(fpi, structure, symmetric=symmetric)
 
 
 def test_shift_classes_cover_partner():
@@ -59,6 +59,22 @@ def test_fused_mtm_matches_xla(model_fn, kw, rng):
     fdm = _fdm(model_fn, **kw)
     fused = build_fused_mtm(fdm, interpret=True)
     assert fused is not None and fused.mode == "roll"
+    v = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
+    ref = fdm.astype("float32").mul_MtM(v)
+    got = fused(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("model_fn,kw", [(chain_model, dict(L=6, beta=0.6)),
+                                         (honeycomb_model, dict(L=2, beta=0.6))])
+def test_fused_mtm_asym_matches_xla(model_fn, kw, rng):
+    """ASYMMETRIC-factorization standalone matvec kernel (B = D CB,
+    B^T = CB^T D) vs the XLA mul_MtM — closes the round-4 sym-only gap
+    (reference asym branch: FermionDetMatrix.jl:329-340)."""
+    fdm = _fdm(model_fn, symmetric=False, **kw)
+    assert not fdm.symmetric
+    fused = build_fused_mtm(fdm, interpret=True)
+    assert fused is not None and fused.mode == "roll" and not fused.symmetric
     v = jnp.asarray(rng.standard_normal((2, fdm.Ltau, fdm.n_sites)), jnp.float32)
     ref = fdm.astype("float32").mul_MtM(v)
     got = fused(v)
