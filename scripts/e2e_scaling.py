@@ -31,7 +31,7 @@ sys.path.insert(0, "examples")
 
 def main():
     sizes = [12, 24, 36, 48]
-    n_therm, n_meas, nrv = 3, 5, 6
+    n_therm, n_meas, nrv, k_disp = 3, 5, 6, 1
     out_dir = "/tmp/e2e_scaling"
     for i, a in enumerate(sys.argv):
         if a == "--sizes":
@@ -42,9 +42,13 @@ def main():
             n_meas = int(sys.argv[i + 1])
         if a == "--nrv":
             nrv = int(sys.argv[i + 1])
+        if a == "--k":
+            k_disp = int(sys.argv[i + 1])
         if a == "--out":
             out_dir = sys.argv[i + 1]
-    assert n_therm >= 2 and n_meas >= 2, "need >= 2 sweeps per phase to amortize compile"
+    assert n_therm > k_disp and n_meas > k_disp, (
+        "need more sweeps than the first (compile-carrying) batch per phase"
+    )
 
     from _common import holstein_honeycomb_model, holstein_honeycomb_spec
 
@@ -64,13 +68,18 @@ def main():
         cfg = SimulationConfig(
             beta=12.0, dtau=0.05, N_therm=n_therm, N_measurements=n_meas,
             N_bins=2, Nt=24, Nrv=nrv, tol=1e-10, maxiter=10_000, seed=1,
+            sweeps_per_dispatch=k_disp,
         )
         t0 = time.perf_counter()
         md = run_simulation(sim_info, tbm, em, spec, cfg, resume=False)
         wall = time.perf_counter() - t0
-        upd = (md["t_therm_s"] - md["t_first_therm_sweep_s"]) / (md["n_therm_timed"] - 1)
+        # first BATCH of each phase carries trace+compile (k sweeps when
+        # sweeps_per_dispatch > 1)
+        upd = (md["t_therm_s"] - md["t_first_therm_sweep_s"]) / (
+            md["n_therm_timed"] - md.get("n_first_therm_batch", 1)
+        )
         mea = (md["t_measure_s"] - md["t_first_measured_sweep_s"]) / (
-            md["n_measure_timed"] - 1
+            md["n_measure_timed"] - md.get("n_first_measured_batch", 1)
         )
         row = {
             "L": L, "N": N, "Ltau": 240,

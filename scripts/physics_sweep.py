@@ -52,6 +52,14 @@ def main():
         if a == "--out":
             out_dir = sys.argv[i + 1]
 
+    # persistent XLA compile cache: the sweep compiles one large driver
+    # program per (L, beta) pair — on a warm cache reruns skip ~200 s each
+    # (same rationale as bench._enable_compile_cache; the big programs load
+    # fine on this backend, only the small matvec loop is pathological)
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from _common import holstein_honeycomb_model, holstein_honeycomb_spec
 
     from smoqyelphqmc_tpu.driver import SimulationConfig, run_simulation

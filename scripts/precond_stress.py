@@ -60,16 +60,23 @@ def main():
     step_pw = jax.jit(lambda c, s: walker_sweep(c, s, params, shared_precond=False))
 
     def probe(step, ctx, states, n):
+        """Returns (states, per-sweep iters, per-sweep wall s). The float()
+        pull per sweep IS the honest execution barrier (block_until_ready is
+        not one on the tunneled backend — bench._drain); the first sweep of a
+        fresh mode carries compile and is excluded from the wall stats."""
         iters = []
-        for _ in range(n):
+        walls = []
+        for k in range(n):
+            t0 = time.perf_counter()
             states, (_, _, h) = step(ctx, states)
-            iters.append(jnp.mean(h.iters_avg))
-        jax.block_until_ready(states.x)
-        return states, [float(v) for v in iters]
+            iters.append(float(jnp.mean(h.iters_avg)))
+            if k > 0:
+                walls.append(time.perf_counter() - t0)
+        return states, iters, walls
 
     print(f"device: {jax.devices()[0].platform}  L={L} beta={beta} W={W} Nt={Nt}")
-    print("| alpha | phase | shared iters/solve (per sweep) | per-walker iters/solve | ratio |")
-    print("|---|---|---|---|---|")
+    print("| alpha | phase | shared iters/solve (per sweep) | per-walker iters/solve | ratio | shared ms/sweep | per-walker ms/sweep |")
+    print("|---|---|---|---|---|---|---|")
     for alpha in alphas:
         ctx, state0 = build_sim(L=L, beta=beta, alpha=alpha, Nt=Nt)
         states0 = init_walker_states(ctx, state0, W, seed=2)
@@ -77,21 +84,21 @@ def main():
         rows = []
         t0 = time.perf_counter()
         # EARLY THERMALIZATION: both modes from the identical jittered init
-        _, it_sh = probe(step_shared, ctx, states0, n_probe)
-        _, it_pw = probe(step_pw, ctx, states0, n_probe)
-        rows.append(("early-therm", it_sh, it_pw))
+        _, it_sh, w_sh = probe(step_shared, ctx, states0, n_probe)
+        _, it_pw, w_pw = probe(step_pw, ctx, states0, n_probe)
+        rows.append(("early-therm", it_sh, it_pw, w_sh, w_pw))
         # EQUILIBRATED: burn in (per-walker refresh = the conservative
         # reference-faithful path), then A/B from the equilibrated state
-        eq, _ = probe(step_pw, ctx, states0, n_equil)
-        _, it_sh2 = probe(step_shared, ctx, eq, n_probe)
-        _, it_pw2 = probe(step_pw, ctx, eq, n_probe)
-        rows.append(("equilibrated", it_sh2, it_pw2))
-        for phase, sh, pw in rows:
+        eq, _, _ = probe(step_pw, ctx, states0, n_equil)
+        _, it_sh2, w_sh2 = probe(step_shared, ctx, eq, n_probe)
+        _, it_pw2, w_pw2 = probe(step_pw, ctx, eq, n_probe)
+        rows.append(("equilibrated", it_sh2, it_pw2, w_sh2, w_pw2))
+        for phase, sh, pw, wsh, wpw in rows:
             m_sh, m_pw = np.mean(sh), np.mean(pw)
             fmt = lambda v: "/".join(f"{x:.1f}" for x in v)
             print(
                 f"| {alpha} | {phase} | {m_sh:.2f} [{fmt(sh)}] | {m_pw:.2f} [{fmt(pw)}] | "
-                f"{m_sh / m_pw:.3f} |",
+                f"{m_sh / m_pw:.3f} | {1e3 * np.mean(wsh):.0f} | {1e3 * np.mean(wpw):.0f} |",
                 flush=True,
             )
         print(f"  (alpha={alpha}: {time.perf_counter() - t0:.0f}s wall)", file=sys.stderr)

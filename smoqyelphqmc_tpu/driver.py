@@ -12,6 +12,7 @@ tutorials and examples on top of this driver."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, Optional
 
@@ -96,6 +97,19 @@ class SimulationConfig:
     shared_precond: bool = True
     precond_fallback_ratio: float = 1.5
     precond_retry_every: int = 32
+    # Sweeps fused into ONE dispatched executable (lax.scan over the sweep
+    # body). On a tunneled device each dispatch+sync costs a large fixed
+    # overhead (measured ~0.5-0.7 s/sweep at small configs vs ~0.1 s of
+    # device work); batching amortizes it k-fold. Batch boundaries are
+    # aligned to the ABSOLUTE sweep-index grid (k = distance to the next
+    # multiple of sweeps_per_dispatch, clipped to bin/phase ends), so an
+    # interrupted+resumed run partitions sweeps identically to an
+    # uninterrupted one and bit-identical resume is preserved. Forced to 1
+    # when mu tuning is active (the tuner feeds mu back on the host every
+    # sweep). k > 1 coarsens checkpoint/runtime-limit checks and the
+    # precond-fallback controller's feedback to batch granularity;
+    # device-side dt targeting is unaffected (it updates inside the scan).
+    sweeps_per_dispatch: int = 1
 
 
 _SYNC_ENABLED: Optional[bool] = None
@@ -111,11 +125,14 @@ def _sync(x) -> None:
     (~0.2 s per sweep, one extra RTT for the 8-byte scalar pull). The driver
     loop therefore pulls one scalar per iteration on tunneled backends.
 
-    Default is auto-detected from the backend name: locally-attached
-    platforms (cpu/tpu/gpu/cuda/rocm) honor block_until_ready, so the async
-    dispatch pipeline is kept there; anything else (e.g. the experimental
-    'axon' proxy) gets the per-sweep barrier. SMOQY_SYNC_EVERY=1 forces it
-    on, SMOQY_SYNC_EVERY=0 forces it off."""
+    Default is auto-detected from the PJRT platform_version string: the
+    tunneled proxy registers as plugin 'axon' but still REPORTS backend name
+    'tpu' (jax.default_backend() cannot distinguish it — measured: keying on
+    the backend name disabled the barrier on the tunnel and a 3-sweep driver
+    phase mis-timed as 0.001 s/sweep update + 54 s/sweep measured while the
+    deferred queue drained). Locally-attached platforms honor
+    block_until_ready and keep the async dispatch pipeline.
+    SMOQY_SYNC_EVERY=1 forces the barrier on, SMOQY_SYNC_EVERY=0 off."""
     import os
 
     global _SYNC_ENABLED
@@ -124,9 +141,11 @@ def _sync(x) -> None:
         if env is not None:
             _SYNC_ENABLED = env != "0"
         else:
-            _SYNC_ENABLED = jax.default_backend() not in (
-                "cpu", "tpu", "gpu", "cuda", "rocm",
-            )
+            try:
+                pv = str(getattr(jax.devices()[0].client, "platform_version", ""))
+            except Exception:  # pragma: no cover
+                pv = ""
+            _SYNC_ENABLED = "axon" in pv.lower()
     if _SYNC_ENABLED:
         np.asarray(x)
 
@@ -357,6 +376,37 @@ def run_simulation(
         sums = jax.tree_util.tree_map(jnp.add, sums, out)
         return state_, acc_vec, est_, sums, iters_acc, n, Nsq, key
 
+    # k-sweep batched variants (cfg.sweeps_per_dispatch > 1): lax.scan over
+    # the SAME bodies, one dispatch + one host sync per k sweeps. Static k is
+    # compiled per distinct value; batch sizes come from the absolute-grid
+    # alignment in the loops below, so only k_disp (and at most one bin/phase
+    # tail size) ever compiles.
+    @functools.partial(jax.jit, static_argnames="k")
+    def sweep_k(ctx_, state_, acc_vec, dt_, *, k):
+        def body(carry, _):
+            s, a, d = carry
+            s, a, d = _sweep_once(ctx_, s, a, d)
+            return (s, a, d), None
+
+        (state_, acc_vec, dt_), _ = jax.lax.scan(
+            body, (state_, acc_vec, dt_), None, length=k
+        )
+        return state_, acc_vec, dt_
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def measured_step_k(ctx_, state_, est_, key, iters_acc, sums, acc_vec, dt_, *, k):
+        def body(carry, _):
+            s, e, ky, ia, sm, a = carry
+            s, a, _ = _sweep_once(ctx_, s, a, dt_)
+            e, out, ia, _, _, ky = _measure_once(ctx_, s, e, ky, ia)
+            sm = jax.tree_util.tree_map(jnp.add, sm, out)
+            return (s, e, ky, ia, sm, a), None
+
+        (state_, est_, key, iters_acc, sums, acc_vec), _ = jax.lax.scan(
+            body, (state_, est_, key, iters_acc, sums, acc_vec), None, length=k
+        )
+        return state_, acc_vec, est_, sums, iters_acc, key
+
     @jax.jit
     def tune_pass(ctx_, state_: QMCState, est_, key):
         key, sub = jax.random.split(key)
@@ -471,20 +521,39 @@ def run_simulation(
     # the trace+compile cost, so whole-simulation scaling studies
     # (scripts/e2e_scaling.py) read post-compile sweep costs from metadata
     # instead of cold/warm process pairs
+    # sweep batching (cfg.sweeps_per_dispatch): k sweeps per dispatched
+    # executable, batch boundaries on the ABSOLUTE sweep-index grid so an
+    # interrupted+resumed run partitions sweeps exactly like an uninterrupted
+    # one. Forced to 1 when mu tuning is active (host feedback per sweep).
+    k_disp = max(int(getattr(cfg, "sweeps_per_dispatch", 1)), 1)
+    if tuner is not None:
+        k_disp = 1
+
+    def _batch(done, *ends):
+        k = k_disp - done % k_disp
+        for e in ends:
+            k = min(k, e - done)
+        return max(k, 1)
+
     t_phase = time.time()
     n_timed = 0
     while therm_done < cfg.N_therm:
-        state, sweep_acc, dt_cur = sweep(ctx, state, sweep_acc, dt_cur)
+        k = _batch(therm_done, cfg.N_therm)
+        if k == 1:
+            state, sweep_acc, dt_cur = sweep(ctx, state, sweep_acc, dt_cur)
+        else:
+            state, sweep_acc, dt_cur = sweep_k(ctx, state, sweep_acc, dt_cur, k=k)
         if tuner is not None:
             est, iters, n, Nsq, key_host = tune_pass(ctx, state, est, key_host)
             tuner = tune_step(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
-        therm_done += 1
+        therm_done += k
         _sync(dt_cur)
-        n_timed += 1
-        if n_timed == 1:
+        n_timed += k
+        if n_timed == k:
             metadata["t_first_therm_sweep_s"] = round(time.time() - t_phase, 3)
+            metadata["n_first_therm_batch"] = k
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time():
@@ -515,20 +584,31 @@ def run_simulation(
     n_timed = 0
     while meas_done < cfg.N_measurements:
         # dt frozen after thermalization (the tuned value is NOT fed back)
-        state, sweep_acc, est, sums_dev, meas_iters_acc, n, Nsq, key_host = measured_step(
-            ctx, state, est, key_host, meas_iters_acc, sums_dev, sweep_acc, dt_cur
+        k = _batch(
+            meas_done, cfg.N_measurements,
+            meas_done + bin_size - meas_done % bin_size,
         )
+        if k == 1:
+            state, sweep_acc, est, sums_dev, meas_iters_acc, n, Nsq, key_host = measured_step(
+                ctx, state, est, key_host, meas_iters_acc, sums_dev, sweep_acc, dt_cur
+            )
+        else:
+            state, sweep_acc, est, sums_dev, meas_iters_acc, key_host = measured_step_k(
+                ctx, state, est, key_host, meas_iters_acc, sums_dev, sweep_acc, dt_cur,
+                k=k,
+            )
         if tuner is not None:
             tuner = tune_step(tuner, n, Nsq)
             ctx = set_mu(ctx, tuner.mu)
             tuning_history.append((tuner.mu, n, Nsq))  # device scalars, lazy
         acc.sums = sums_dev
-        acc.count += 1
-        meas_done += 1
+        acc.count += k
+        meas_done += k
         _sync(meas_iters_acc)
-        n_timed += 1
-        if n_timed == 1:
+        n_timed += k
+        if n_timed == k:
             metadata["t_first_measured_sweep_s"] = round(time.time() - t_phase, 3)
+            metadata["n_first_measured_batch"] = k
         if meas_done % bin_size == 0:
             bin_index = meas_done // bin_size - 1
             write_measurement_bin(sim_info, bin_index, acc.finalize_bin(), spec, dtau=cfg.dtau)
@@ -755,41 +835,68 @@ def _run_multiwalker(
         pc.mode = "perwalker"
     metadata_fallback = {"n": 0}  # mirrors pc.fallback_sweeps across resume
 
-    def run_sweep(s, mus, acc_vec, dt_):
-        if not pc.enabled:
-            fn = sweep_shared if pc.mode == "shared" else sweep_perwalker
-            if pc.mode == "perwalker":
-                metadata_fallback["n"] += 1
-            s, acc_vec, dt_, _ = fn(s, mus, acc_vec, dt_)
-            return s, acc_vec, dt_
-        use_shared = pc.choose()
-        fn = sweep_shared if use_shared else sweep_perwalker
-        before = pc.fallback_sweeps
-        s, acc_vec, dt_, it_dev = fn(s, mus, acc_vec, dt_)
-        pc.record(it_dev, use_shared)
-        metadata_fallback["n"] += pc.fallback_sweeps - before
-        return s, acc_vec, dt_
-
-    def run_measured(s, mus, acc_vec, dt_, key, iters_acc, msums):
-        """Measured-sweep twin of run_sweep: same fallback-controller choice,
-        fused sweep+measure executable (dt discarded — frozen)."""
+    def run_sweep(s, mus, acc_vec, dt_, k=1):
         if not pc.enabled:
             use_shared = pc.mode == "shared"
             if not use_shared:
-                metadata_fallback["n"] += 1
-            fn = measured_shared if use_shared else measured_perwalker
-            s, acc_vec, _, key, iters_acc, msums, n_w, N2_w = fn(
-                s, mus, acc_vec, dt_, key, iters_acc, msums
+                metadata_fallback["n"] += k
+            if k == 1:
+                fn = sweep_shared if use_shared else sweep_perwalker
+                s, acc_vec, dt_, _ = fn(s, mus, acc_vec, dt_)
+            else:
+                s, acc_vec, dt_, _ = sweep_k_mw(
+                    s, mus, acc_vec, dt_, k=k, shared=use_shared
+                )
+            return s, acc_vec, dt_
+        use_shared = pc.choose()
+        if k == 1:
+            fn = sweep_shared if use_shared else sweep_perwalker
+            s, acc_vec, dt_, it_dev = fn(s, mus, acc_vec, dt_)
+        else:
+            s, acc_vec, dt_, it_dev = sweep_k_mw(
+                s, mus, acc_vec, dt_, k=k, shared=use_shared
             )
+        pc.record(it_dev, use_shared)
+        if not use_shared:
+            metadata_fallback["n"] += k
+        return s, acc_vec, dt_
+
+    def run_measured(s, mus, acc_vec, dt_, key, iters_acc, msums, k=1):
+        """Measured-sweep twin of run_sweep: same fallback-controller choice,
+        fused sweep+measure executable (dt discarded — frozen). k > 1 runs
+        the batched scan twin; the (n_w, N2_w) tuner outputs are only defined
+        for k == 1 (mu tuning forces k = 1)."""
+        if not pc.enabled:
+            use_shared = pc.mode == "shared"
+            if not use_shared:
+                metadata_fallback["n"] += k
+            if k == 1:
+                fn = measured_shared if use_shared else measured_perwalker
+                s, acc_vec, _, key, iters_acc, msums, n_w, N2_w = fn(
+                    s, mus, acc_vec, dt_, key, iters_acc, msums
+                )
+            else:
+                s, acc_vec, _, key, iters_acc, msums = measured_k_mw(
+                    s, mus, acc_vec, dt_, key, iters_acc, msums,
+                    k=k, shared=use_shared,
+                )
+                n_w = N2_w = None
             return s, acc_vec, key, iters_acc, msums, n_w, N2_w
         use_shared = pc.choose()
-        fn = measured_shared if use_shared else measured_perwalker
-        before = pc.fallback_sweeps
-        s, acc_vec, it_dev, key, iters_acc, msums, n_w, N2_w = fn(
-            s, mus, acc_vec, dt_, key, iters_acc, msums
-        )
+        if k == 1:
+            fn = measured_shared if use_shared else measured_perwalker
+            s, acc_vec, it_dev, key, iters_acc, msums, n_w, N2_w = fn(
+                s, mus, acc_vec, dt_, key, iters_acc, msums
+            )
+        else:
+            s, acc_vec, it_dev, key, iters_acc, msums = measured_k_mw(
+                s, mus, acc_vec, dt_, key, iters_acc, msums,
+                k=k, shared=use_shared,
+            )
+            n_w = N2_w = None
         pc.record(it_dev, use_shared)
-        metadata_fallback["n"] += pc.fallback_sweeps - before
+        if not use_shared:
+            metadata_fallback["n"] += k
         return s, acc_vec, key, iters_acc, msums, n_w, N2_w
 
     def _refresh_est(s1, key, mu):
@@ -858,6 +965,39 @@ def _run_multiwalker(
     measured_perwalker = jax.jit(
         lambda s, mus, a, d, k, ia, ms: _measured_body(s, mus, a, d, k, ia, ms, False)
     )
+
+    # k-sweep batched twins (cfg.sweeps_per_dispatch > 1): lax.scan over the
+    # same bodies — one dispatch + one host sync per k sweeps. The fallback
+    # controller sees the LAST sweep's mean iteration count per batch (its
+    # feedback cadence coarsens to batch granularity, documented on the
+    # config field); mu tuning forces k = 1 in the loops below.
+    @functools.partial(jax.jit, static_argnames=("k", "shared"))
+    def sweep_k_mw(s, mus, a, d, *, k, shared):
+        def body(carry, _):
+            s, a, d, _ = carry
+            return _sweep_body(s, mus, a, d, shared), None
+
+        (s, a, d, it), _ = jax.lax.scan(
+            body, (s, a, d, jnp.zeros((), jnp.float64)), None, length=k
+        )
+        return s, a, d, it
+
+    @functools.partial(jax.jit, static_argnames=("k", "shared"))
+    def measured_k_mw(s, mus, a, d, key, ia, ms, *, k, shared):
+        def body(carry, _):
+            s, a, _, key, ia, ms = carry
+            s, a, it, key, ia, ms, _, _ = _measured_body(
+                s, mus, a, d, key, ia, ms, shared
+            )
+            return (s, a, it, key, ia, ms), None
+
+        (s, a, it, key, ia, ms), _ = jax.lax.scan(
+            body,
+            (s, a, jnp.zeros((), jnp.float64), key, ia, ms),
+            None,
+            length=k,
+        )
+        return s, a, it, key, ia, ms
 
     metadata: Dict = {
         "n_walkers": W,
@@ -1041,21 +1181,37 @@ def _run_multiwalker(
     # phase wall-clock instrumentation (see the single-walker path): first
     # sweep of each phase carries trace+compile; scripts/e2e_scaling.py reads
     # post-compile sweep costs from these metadata keys
+    # sweep batching on the absolute grid (see the single-walker path / the
+    # cfg.sweeps_per_dispatch docstring); mu tuning forces k = 1
+    k_disp = max(int(getattr(cfg, "sweeps_per_dispatch", 1)), 1)
+    if tuners is not None:
+        k_disp = 1
+
+    def _batch(done, *ends):
+        k = k_disp - done % k_disp
+        for e in ends:
+            k = min(k, e - done)
+        return max(k, 1)
+
     t_phase = time.time()
     n_timed = 0
     while therm_done < cfg.N_therm:
-        states, sweep_acc, dt_cur = run_sweep(states, mu_walkers, sweep_acc, dt_cur)
+        k = _batch(therm_done, cfg.N_therm)
+        states, sweep_acc, dt_cur = run_sweep(
+            states, mu_walkers, sweep_acc, dt_cur, k=k
+        )
         if tuners is not None:
             n_w, N2_w, key = tune(states, key, mu_walkers)
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
             # ONE lazy (W,)-vector triple per sweep; split per walker at save time
             tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
-        therm_done += 1
+        therm_done += k
         _sync(dt_cur)
-        n_timed += 1
-        if n_timed == 1:
+        n_timed += k
+        if n_timed == k:
             metadata["t_first_therm_sweep_s"] = round(time.time() - t_phase, 3)
+            metadata["n_first_therm_batch"] = k
         if cfg.checkpoint_freq_hours < np.inf:
             maybe_checkpoint()
         if out_of_time():
@@ -1078,19 +1234,24 @@ def _run_multiwalker(
     while meas_done < cfg.N_measurements:
         # dt frozen after thermalization (the tuned value is NOT fed back);
         # sweep + measure + accumulate run as ONE fused executable
-        states, sweep_acc, key, meas_iters_acc, msums, n_w, N2_w = run_measured(
-            states, mu_walkers, sweep_acc, dt_cur, key, meas_iters_acc, msums
+        k = _batch(
+            meas_done, cfg.N_measurements,
+            meas_done + bin_size - meas_done % bin_size,
         )
-        mcount += 1
+        states, sweep_acc, key, meas_iters_acc, msums, n_w, N2_w = run_measured(
+            states, mu_walkers, sweep_acc, dt_cur, key, meas_iters_acc, msums, k=k
+        )
+        mcount += k
         if tuners is not None:
             tuners = tune_step(tuners, n_w, N2_w)
             mu_walkers = tuners.mu
             tuning_history_vecs.append(hist_entry(mu_walkers, n_w, N2_w))
-        meas_done += 1
+        meas_done += k
         _sync(meas_iters_acc)
-        n_timed += 1
-        if n_timed == 1:
+        n_timed += k
+        if n_timed == k:
             metadata["t_first_measured_sweep_s"] = round(time.time() - t_phase, 3)
+            metadata["n_first_measured_batch"] = k
         if meas_done % bin_size == 0:
             b = meas_done // bin_size - 1
             # single host: materialize each (W, ...) leaf ONCE and slice rows

@@ -5,6 +5,8 @@ resume from the checkpoint and produce the complete output set
 import glob
 import os
 
+import pytest
+
 import numpy as np
 
 from smoqyelphqmc_tpu.driver import SimulationConfig, run_simulation
@@ -93,6 +95,7 @@ def test_midbin_resume_is_bit_identical(tmp_path):
         np.testing.assert_array_equal(res_bins[k], ref_bins[k], err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_multiwalker_interrupt_and_resume(tmp_path):
     """n_walkers=2: interrupt + resume produces the complete per-walker output
     set (bins for both pIDs, merged stats, no leftover checkpoints) — the MPI +

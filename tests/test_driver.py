@@ -65,6 +65,76 @@ def test_driver_end_to_end_holstein(tmp_path):
     assert np.isfinite(R.real) and np.isfinite(dR)
 
 
+def _h5_tree(path):
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name] = np.asarray(obj)
+
+        f.visititems(visit)
+    return out
+
+
+def test_sweep_batching_matches_unbatched(tmp_path):
+    """cfg.sweeps_per_dispatch fuses k sweeps into ONE dispatched executable
+    (lax.scan over the same sweep body, driver.py sweep_k/measured_step_k) —
+    the sampled chain and every written bin must match the k=1 run."""
+    metas, trees = {}, {}
+    for k in (1, 4):
+        sub = tmp_path / f"k{k}"
+        sub.mkdir()
+        sim_info, meta = _run(
+            sub, honeycomb_model,
+            cfg_kw=dict(N_therm=3, N_measurements=6, N_bins=2, sweeps_per_dispatch=k),
+            L=2, beta=0.5, dtau=0.1, alpha=0.5,
+        )
+        metas[k] = meta
+        trees[k] = _h5_tree(os.path.join(sim_info.datafolder, "binned_data.h5"))
+    assert metas[1]["hmc_acceptance_rate"] == metas[4]["hmc_acceptance_rate"]
+    assert metas[1]["n_first_measured_batch"] == 1
+    # first measured batch clips to the bin boundary: min(k, bin_size) = 3
+    assert metas[4]["n_first_measured_batch"] == 3
+    assert trees[1].keys() == trees[4].keys()
+    # the CHAIN is exact (acceptance above); the f32 measurement contractions
+    # may differ at f32 rounding (~2e-7) because XLA fuses the scan body
+    # differently from the single-step program
+    for name in trees[1]:
+        np.testing.assert_allclose(
+            trees[4][name], trees[1][name], rtol=5e-6, atol=5e-6, err_msg=name
+        )
+
+
+def test_sweep_batching_multiwalker(tmp_path):
+    """Multiwalker twin: the batched scan runs through run_sweep/run_measured
+    with the fallback controller recording once per batch."""
+    metas, trees = {}, {}
+    for k in (1, 3):
+        sub = tmp_path / f"k{k}"
+        sub.mkdir()
+        sim_info, meta = _run(
+            sub, honeycomb_model,
+            cfg_kw=dict(
+                N_therm=3, N_measurements=6, N_bins=2, n_walkers=2,
+                sweeps_per_dispatch=k,
+            ),
+            L=2, beta=0.5, dtau=0.1, alpha=0.5,
+        )
+        metas[k] = meta
+        trees[k] = _h5_tree(
+            os.path.join(sim_info.with_pID(0).datafolder, "binned_data.h5")
+        )
+    assert metas[1]["hmc_acceptance_rate"] == metas[3]["hmc_acceptance_rate"]
+    assert trees[1].keys() == trees[3].keys()
+    # chain exact; f32 measurement rounding as in the single-walker test
+    for name in trees[1]:
+        np.testing.assert_allclose(
+            trees[3][name], trees[1][name], rtol=5e-6, atol=5e-6, err_msg=name
+        )
+
+
 def test_driver_ssh_chain(tmp_path):
     sim_info, meta = _run(tmp_path, chain_model, L=4, beta=0.5, dtau=0.1, alpha=0.4, ssh=True)
     assert os.path.exists(os.path.join(sim_info.datafolder, "stats.h5"))
@@ -101,6 +171,7 @@ def test_driver_acceptance_targeted_dt(tmp_path):
     assert meta["hmc_dt_final"] <= 8 * dt0 + 1e-12
 
 
+@pytest.mark.slow
 def test_driver_acceptance_targeted_dt_multiwalker(tmp_path):
     sim_info, meta = _run(
         tmp_path, chain_model,
@@ -127,6 +198,7 @@ def test_driver_kpm_diagnostics_in_metadata(tmp_path):
     assert meta["kpm_order_clip_count"] >= 0
 
 
+@pytest.mark.slow
 def test_driver_kpm_diagnostics_multiwalker(tmp_path):
     sim_info, meta = _run(
         tmp_path, chain_model,

@@ -7,6 +7,8 @@ host-side controller (parallel/walkers.PrecondFallbackController) that demotes
 to per-walker refresh when iteration counts blow past the running floor and
 probes shared mode periodically to promote back (VERDICT round 2, item 7)."""
 
+import pytest
+
 import numpy as np
 
 from smoqyelphqmc_tpu.driver import SimulationConfig, run_simulation
@@ -107,6 +109,7 @@ def _run_walkers(tmp_path, **cfg_kw):
     return run_simulation(sim_info, tbm, elph_model, spec, cfg)
 
 
+@pytest.mark.slow
 def test_driver_forced_fallback(tmp_path):
     # ratio < 1 makes every resolved shared sweep look unhealthy -> the
     # controller must demote and the per-walker sweep variant must run
@@ -121,6 +124,7 @@ def test_driver_shared_mode_stays_healthy(tmp_path):
     assert meta["precond_fallback_sweeps"] == 0
 
 
+@pytest.mark.slow
 def test_driver_pinned_perwalker(tmp_path):
     meta = _run_walkers(tmp_path, shared_precond=False)
     # every update sweep (therm + measurement) ran per-walker refresh
