@@ -201,11 +201,17 @@ def bench_walker_sweeps(W=8, n_sweeps=6, n_discard=2, Nt=24, sim=None):
     return n_sweeps * W / (time.perf_counter() - t0)
 
 
-def bench_walker_measured(W=8, n_sweeps=6, n_discard=2, Nt=24, Nrv=10, sim=None):
+def bench_walker_measured(W=8, n_sweeps=6, n_discard=2, Nt=24, Nrv=10, sim=None,
+                          k_scan=1):
     """Aggregate MEASURED walker-sweeps/sec: one full update sweep plus one
     estimator refresh + full tutorial measurement pass per walker per sweep —
     the end-to-end production rate of the flagship config. Window: compile +
-    n_discard warm batches discarded, then >= n_sweeps timed (steady state)."""
+    n_discard warm batches discarded, then >= n_sweeps timed (steady state).
+
+    k_scan > 1 fuses k measured sweeps into one dispatched executable with
+    device-side bin accumulation — exactly the production driver's
+    cfg.sweeps_per_dispatch batching — so the per-dispatch tunnel overhead
+    amortizes k-fold. Each timed call still ends in one honest drain."""
     import jax
 
     from smoqyelphqmc_tpu.measure.container import MeasurementSpec, make_measurements
@@ -243,6 +249,41 @@ def bench_walker_measured(W=8, n_sweeps=6, n_discard=2, Nt=24, Nrv=10, sim=None)
         return states, out, keys[0]
 
     import jax.numpy as jnp
+
+    if k_scan > 1:
+        # production sweeps_per_dispatch batching: scan the SAME body with
+        # device-side bin-sum accumulation (mirrors driver.measured_k_mw)
+        sums0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype),
+            jax.eval_shape(
+                lambda s, k: sweep_and_measure(s, k)[1],
+                states, jax.random.PRNGKey(0),
+            ),
+        )
+
+        @jax.jit
+        def sweep_k(states, key, sums):
+            def body(carry, _):
+                states, key, sums = carry
+                states, out, key = sweep_and_measure(states, key)
+                sums = jax.tree_util.tree_map(jnp.add, sums, out)
+                return (states, key, sums), None
+
+            (states, key, sums), _ = jax.lax.scan(
+                body, (states, key, sums), None, length=k_scan
+            )
+            return states, key, sums
+
+        key = jax.random.PRNGKey(7)
+        sums = sums0
+        for _ in range(1 + n_discard):  # compile + warm-up batches
+            states, key, sums = sweep_k(states, key, sums)
+            _drain(key)
+        t0 = time.perf_counter()
+        for _ in range(n_sweeps):
+            states, key, sums = sweep_k(states, key, sums)
+            _drain(key)  # one honest drain per k-sweep dispatch
+        return n_sweeps * k_scan * W / (time.perf_counter() - t0)
 
     key = jax.random.PRNGKey(7)
     for _ in range(1 + n_discard):  # compile + warm-up batches
@@ -403,7 +444,8 @@ def main():
             "numpy_matvecs_per_sec": None,
             "vs_numpy_baseline": None,
             "measured8_sweeps_per_sec": None,
-            "walker8_measured_sweeps_per_sec": None,  # legacy alias of the above
+            "measured8_k6_sweeps_per_sec": None,  # sweeps_per_dispatch=6 batching
+            "walker8_measured_sweeps_per_sec": None,  # legacy alias of measured8
             "hmc_sweeps_per_sec": None,
             "cg_iters_per_solve": None,
             "walker8_sweeps_per_sec": None,
@@ -532,6 +574,11 @@ def main():
             measured8_sweeps_per_sec=round(r, 4),
             walker8_measured_sweeps_per_sec=round(r, 4),
         ),
+    )
+    _optional(
+        "measured8k", 100.0,
+        lambda: bench_walker_measured(W=8, sim=sim, k_scan=6, n_sweeps=3, n_discard=1),
+        lambda r: ex.update(measured8_k6_sweeps_per_sec=round(r, 4)),
     )
     _optional(
         "sweeps", 100.0, lambda: bench_sweeps(sim=sim),

@@ -153,11 +153,53 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"[ERROR  ] rung{k}: {e}")
             failed.append(k)
+
+    # ------------------------------------------------------------------
+    # rung 7: the FULL W=1 production sweep through the fused epilogue.
+    # Round-5 measurement: rungs 1-6 run clean on the current toolchain yet
+    # this rung still corrupts (acceptance 0.000, ~353 iters/solve vs 8.3
+    # healthy) — the trigger needs the full reflection + swap + 24-step-HMC
+    # context (warm-start history carry + carried preconditioner), not just
+    # a 3-step scan. Health is probed through acceptance/iteration counts:
+    # corrupt forces produce garbage proposals that the (separate, exact)
+    # f64 endpoint actions reject.
+    # ------------------------------------------------------------------
+    if pick is None or 7 in pick:
+        from smoqyelphqmc_tpu.updates.global_updates import reflection_update, swap_update
+        from smoqyelphqmc_tpu.updates.hmc import HMCParams, hmc_update
+
+        params = HMCParams(Nt=24, fused_step_force=True)
+
+        @jax.jit
+        def sweep(s, acc, iters):
+            s, _ = reflection_update(ctx, s)
+            s, _ = swap_update(ctx, s)
+            s, h = hmc_update(ctx, s, params)
+            return s, acc + h.accepted.astype(jnp.float64), iters + h.iters_avg
+
+        s = state
+        acc = jnp.zeros((), jnp.float64)
+        it = jnp.zeros((), jnp.float64)
+        n = 6
+        for _ in range(n):
+            s, acc, it = sweep(s, acc, it)
+            np.asarray(it.ravel()[0:1])
+        acc_rate = float(acc) / n
+        iters = float(it) / n
+        bad = acc_rate < 0.5 or iters > 50.0
+        print(
+            f"[{'CORRUPT' if bad else 'ok':7s}] rung7 (full W=1 production sweep, "
+            f"fused_step_force=True): acceptance {acc_rate:.3f}, iters/solve {iters:.1f}"
+        )
+        if bad:
+            failed.append(7)
+
     if failed:
         print(f"\nfirst corrupting rung: {failed[0]} — minimal repro context")
         sys.exit(1)
-    print("\nall rungs clean: the unvmapped miscompile is NOT reproduced on this "
-          "toolchain — consider re-enabling the unvmapped fused_step gate (ops/pff.py)")
+    print("\nall rungs clean INCLUDING the full production sweep: the unvmapped "
+          "miscompile is fixed on this toolchain — re-enable the unvmapped "
+          "fused_step default (updates/hmc.py HMCParams.fused_step_force)")
 
 
 if __name__ == "__main__":

@@ -138,15 +138,18 @@ def fermionic_action_and_force(
     # from the SAME custom call that solved the system, so psi never round-trips
     # HBM and no extra kernel enters the step's schedule.
     #
-    # ENABLED ONLY WHERE VERIFIED: in UNVMAPPED programs this toolchain
+    # ENABLED ONLY WHERE VERIFIED: in UNVMAPPED programs the toolchain
     # corrupts the epilogue planes when the kernel's consumers are compiled
-    # into the same program (deterministic ~30x-wrong forces at the headline
-    # config, single-chain HMC diverges to nan), while the kernel in isolation
-    # — probed stage by stage against interpret mode — is exact, and the SAME
-    # program vmapped over >= 2 walkers is exact vs the XLA chain
-    # (scripts/device_sanity.py). Third context-sensitive Mosaic/XLA
-    # miscompile flavor for this kernel (see _pcg_force_kernel docstring).
-    # Callers that KNOW they run vmapped multi-walker sweeps pass
+    # into a large enough surrounding program, while the kernel in isolation
+    # — probed stage by stage against interpret mode — is exact, and the
+    # SAME program vmapped over >= 2 walkers is exact vs the XLA chain
+    # (scripts/device_sanity.py). Round-5 forensics NARROWED the trigger:
+    # all six minimal rungs of scripts/miscompile_repro.py (force consumers,
+    # carry-shaped dataflow, a 3-step leapfrog scan) now run CLEAN on the
+    # current toolchain, yet the FULL W=1 production sweep (reflection +
+    # swap + 24-step HMC with warm-start history and carried preconditioner)
+    # still corrupts — acceptance 0.000, 353 iters/solve (rung 7 of the
+    # script). Callers that KNOW they run vmapped multi-walker sweeps pass
     # fused_step=True (updates/hmc.py via HMCParams.fused_step_force, set by
     # parallel/walkers.walker_sweep); everything else defaults to the
     # scan-proven plain fused solve + XLA force chain. SMOQY_FUSED_STEP=0/1

@@ -56,6 +56,15 @@ class HMCParams:
     # n_walkers >= 2): the unvmapped lowering deterministically corrupts the
     # force planes on this toolchain (ops/pff.py gate comment;
     # scripts/device_sanity.py). SMOQY_FUSED_STEP=0/1 overrides.
+    # Fused in-kernel solve+force epilogue (ops/pff.py gate): ON only in
+    # vmapped multi-walker sweeps (parallel/walkers.walker_sweep sets it).
+    # Round-5 status of the unvmapped miscompile: ALL SIX minimal-repro
+    # rungs now pass on the current toolchain (scripts/miscompile_repro.py),
+    # but the FULL W=1 production sweep still corrupts (acceptance 0.000,
+    # 353 iters/solve, on-device probe — WORKLOG round 5), so the trigger
+    # needs context beyond a 3-step scan; rung 7 in the repro script pins
+    # it. Exactness is never at stake (forces only shape proposals), the
+    # failure mode is acceptance collapse. SMOQY_FUSED_STEP=0/1 overrides.
     fused_step_force: bool = static_field(default=False)
     # warm-start extrapolation order for the trajectory force solves: 2 =
     # linear chronological extrapolation of the previous two solutions, 3 =
