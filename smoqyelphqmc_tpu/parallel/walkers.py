@@ -185,9 +185,15 @@ def walker_sweep(
         hmc_params = hmc_params.replace(refresh_precond_at_start=False)
     # the fused solve+force epilogue is verified correct ONLY in vmapped
     # multi-walker programs (>= 2 walkers); the unvmapped lowering corrupts
-    # the planes on this toolchain (ops/pff.py gate comment)
+    # the planes on this toolchain (ops/pff.py gate comment). It is ALSO
+    # disabled in PER-WALKER refresh mode: each walker then carries its own
+    # spectral eigenbasis, the vmapped per-walker Q planes push the epilogue
+    # kernel's scoped-VMEM stack just past the 16 MiB limit at the headline
+    # config (Mosaic compile OOM by 120 KiB, W=8 L=12 Ltau=240 — found by
+    # scripts/precond_stress.py round 5); the fallback mode rides the plain
+    # fused solve + XLA force chain instead.
     n_walkers = jax.tree_util.tree_leaves(states.x)[0].shape[0]
-    if n_walkers >= 2:
+    if n_walkers >= 2 and shared_precond:
         hmc_params = hmc_params.replace(fused_step_force=True)
 
     def one(state):
