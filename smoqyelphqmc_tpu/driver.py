@@ -109,6 +109,9 @@ class SimulationConfig:
     # sweep). k > 1 coarsens checkpoint/runtime-limit checks and the
     # precond-fallback controller's feedback to batch granularity;
     # device-side dt targeting is unaffected (it updates inside the scan).
+    # Each DISTINCT batch size compiles its own scan program: keep N_therm,
+    # the bin size (N_measurements / N_bins), and N_measurements multiples
+    # of this value or the ragged tail batches pay extra compiles.
     sweeps_per_dispatch: int = 1
 
 
