@@ -71,8 +71,9 @@ class HMCParams:
     # quadratic through the previous three (leapfrog's uniform spacing only;
     # Omelyan always uses linear). Higher order cancels one more power of dt
     # in the warm-start residual at the cost of a larger amplification of the
-    # tol-level solve noise; device A/B at the headline config: 9.16 / 8.14 /
-    # 10.06 iters/solve for orders 2 / 3 / 4 (BENCH.md) — 3 is the default.
+    # tol-level solve noise; committed device A/B at the headline config
+    # under the honest barrier: 9.36 / 8.22 / 10.12 iters/solve for orders
+    # 2 / 3 / 4 (BENCH.md "Warm-start extrapolation order A/B") — 3 default.
     warm_order: int = static_field(default=3)
 
     def timestep(self):
