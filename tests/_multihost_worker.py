@@ -64,11 +64,15 @@ def main() -> None:
     spec.add_correlation("density", [(0, 0)])
     W = 4
     cfg = SimulationConfig(
-        beta=0.4, dtau=0.1, N_therm=1, N_measurements=2, N_bins=2,
+        beta=0.4, dtau=0.1,
+        N_therm=int(opts.get("therm", 1)),
+        N_measurements=int(opts.get("meas", 2)),
+        N_bins=int(opts.get("bins", 2)),
         Nt=2, Nrv=2, tol=1e-7, seed=3, n_walkers=W,
         target_density=1.0 if tune else None,  # exercises per-walker tuners + profiles
         checkpoint_freq_hours=0.0,    # exercises per-process local-block checkpoints
-        runtime_limit_hours=runtime,  # 0.0 -> interrupt after the first sweep
+        runtime_limit_hours=runtime,  # 0.0 -> interrupt after the first sweep/batch
+        sweeps_per_dispatch=int(opts.get("k", 1)),
     )
     # explicit sID: the auto-increment scans the filesystem and can race between
     # the two processes (documented in _run_multiwalker)

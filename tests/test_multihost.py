@@ -156,6 +156,35 @@ def test_multihost_kill_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_kill_and_resume_batched(tmp_path):
+    """sweeps_per_dispatch > 1 composes with per-process checkpoints: batch
+    boundaries sit on the ABSOLUTE sweep-index grid (driver._batch), so a
+    killed+resumed fleet partitions sweeps exactly like an uninterrupted one
+    and the bins stay bit-identical even though each dispatch now covers two
+    sweeps. Tuner off (mu tuning forces k=1)."""
+    workdir = str(tmp_path)
+    opts = {"tune": False, "k": 2, "therm": 2, "meas": 4, "bins": 2}
+
+    _launch_workers(workdir, opts={**opts, "prefix": "ref"})
+    ref_bins = _bin_contents(os.path.join(workdir, "ref-1"))
+    assert ref_bins
+
+    _launch_workers(workdir, opts={**opts, "prefix": "int", "runtime": 0.0})
+    datafolder = os.path.join(workdir, "int-1")
+    for p in range(2):
+        cps = glob.glob(os.path.join(datafolder, f"checkpoint_pID-{p}_slot-*.pkl"))
+        assert cps, f"no per-process checkpoint for process {p}"
+
+    _launch_workers(workdir, opts={**opts, "prefix": "int"})
+    assert os.path.exists(os.path.join(datafolder, "stats.h5"))
+
+    res_bins = _bin_contents(datafolder)
+    assert set(res_bins) == set(ref_bins)
+    for k in ref_bins:
+        np.testing.assert_array_equal(res_bins[k], ref_bins[k], err_msg=str(k))
+
+
+@pytest.mark.slow
 def test_four_process_walker_fleet(tmp_path):
     """nproc=4 x 1 device per process: each host owns exactly one walker
     (the reference's one-rank-one-chain MPI layout,
